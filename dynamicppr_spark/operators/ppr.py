@@ -1,0 +1,377 @@
+"""Forward-push Personalized PageRank — static (K1), dynamic (K2),
+top-k (K7), multi-source (K8). The heart of the engine.
+
+Semantics pinned by tests/oracle.py (synchronous push, dangling
+self-loop, stop at ||r||_1 <= eps per source), matching the reference's
+forward-push (residual, reserve) formulation (guowentian/dynamicppr is the
+artifact of Guo et al., "Parallel Personalized PageRank on Dynamic
+Graphs", PVLDB'17; checkout absent in sandbox — SURVEY.md §0).
+
+State is a SPARSE DataFrame ``(source, vid, residual, reserve)``: only
+touched vertices have rows, giving forward-push its locality. All joins
+key on (source, vid) or src; the big scatter table never re-shuffles
+(persisted pre-partitioned on src).
+
+Dynamic maintenance (K2) — batch-level invariant restoration
+-------------------------------------------------------------
+Push maintains, for every target t:
+    ppr(s,t) = pi[t] + sum_v r[v] * ppr_G(v,t)
+Equivalently, with P the (dangling-self-loop) row-stochastic matrix:
+    r = e_s - pi/alpha + ((1-alpha)/alpha) * P^T pi          (*)
+When the graph changes P -> P', we restore (*) w.r.t. P' by adjusting
+(pi, r) at touched vertices only, then re-push:
+
+  For touched u with old outdeg d>0 and new outdeg d'>0, scale
+  pi'[u] = pi[u] * d'/d. Old contributions p_u/d to surviving neighbors
+  are then unchanged (p'_u/d' = p_u/d), so only:
+    r[t] += ((1-alpha)/alpha) * pi[u]/d     for each ADDED edge (u,t)
+    r[t] -= ((1-alpha)/alpha) * pi[u]/d     for each REMOVED edge (u,t)
+    r[u] -= pi[u] * (d'-d) / (d * alpha)    (reserve-scaling correction)
+  For dangling transitions (d=0 or d'=0), keep pi[u] and recompute u's
+  full contribution row:
+    old side: d>0 ? -c*pi[u]/d at each old neighbor : -c*pi[u] at u
+    new side: d'>0 ? +c*pi[u]/d' at each new neighbor : +c*pi[u] at u
+  with c = (1-alpha)/alpha.
+
+This is exact algebra (no approximation beyond the final re-push to
+||r||_1 <= eps), is batch-level (no per-update sequencing), touches only
+O(|changed edges|) state for the common case, and handles insertions and
+deletions symmetrically — deletions simply produce negative residuals.
+Verified by the metamorphic gate in tests/test_dynamic_ppr.py: dynamic
+maintenance over any update script == static recompute on the final
+graph, to within 2*eps.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.storagelevel import StorageLevel
+
+from dynamicppr_spark.graph import LinkGraph
+
+STATE_SCHEMA = "source bigint, vid bigint, residual double, reserve double"
+
+
+@dataclass
+class PPRMetrics:
+    supersteps: int = 0
+    wall_seconds: float = 0.0
+    updates_applied: int = 0
+    batches_applied: int = 0
+    history: list[dict] = field(default_factory=list)
+
+    @property
+    def supersteps_per_sec(self) -> float:
+        return self.supersteps / self.wall_seconds if self.wall_seconds else 0.0
+
+    @property
+    def updates_per_sec(self) -> float:
+        return self.updates_applied / self.wall_seconds if self.wall_seconds else 0.0
+
+
+class PPREngine:
+    """Maintains multi-source PPR state over a mutable LinkGraph."""
+
+    def __init__(
+        self,
+        graph: LinkGraph,
+        sources: list[int],
+        alpha: float = 0.15,
+        eps: float = 1e-6,
+        ckpt_dir: str | None = None,
+        ckpt_every: int = 10,
+        max_supersteps: int = 2000,
+    ) -> None:
+        self.graph = graph
+        self.spark = graph.spark
+        self.sources = [int(s) for s in sources]
+        self.alpha = float(alpha)
+        self.eps = float(eps)
+        self.ckpt_dir = ckpt_dir
+        self.ckpt_every = ckpt_every
+        self.max_supersteps = max_supersteps
+        self.metrics = PPRMetrics()
+        self.state: DataFrame = self.spark.createDataFrame(
+            [(s, s, 1.0, 0.0) for s in self.sources], schema=STATE_SCHEMA
+        ).repartition(graph.num_partitions, "vid")
+        self._converged = False
+
+    # ------------------------------------------------------------ push loop
+    def _push_superstep(self, state: DataFrame, live_sources: list[int]) -> DataFrame:
+        """One synchronous superstep for the given sources; others frozen."""
+        alpha = self.alpha
+        live_pred = F.col("source").isin(live_sources)
+        live = state.filter(live_pred)
+        frozen = state.filter(~live_pred)
+
+        absorbed = live.select(
+            "source",
+            "vid",
+            (F.col("reserve") + F.lit(alpha) * F.col("residual")).alias("reserve"),
+        )
+        active = live.filter(F.col("residual") != 0.0)
+        scatter = self.graph.scatter_edges  # (src, dst, inv_outdeg) part. on src
+        pushed = (
+            active.join(scatter, active.vid == scatter.src)
+            .select(
+                "source",
+                F.col("dst").alias("vid"),
+                (
+                    F.lit(1.0 - alpha) * F.col("residual") * F.col("inv_outdeg")
+                ).alias("dr"),
+            )
+        )
+        dangling = (
+            active.join(
+                self.graph.out_degrees.select(F.col("src").alias("vid")),
+                "vid",
+                "left_anti",
+            )
+            .select(
+                "source",
+                "vid",
+                (F.lit(1.0 - alpha) * F.col("residual")).alias("dr"),
+            )
+        )
+        deltas = (
+            pushed.unionByName(dangling)
+            .groupBy("source", "vid")
+            .agg(F.sum("dr").alias("dr"))
+        )
+        new_live = (
+            absorbed.join(deltas, ["source", "vid"], "full_outer")
+            .select(
+                "source",
+                "vid",
+                F.coalesce("dr", F.lit(0.0)).alias("residual"),
+                F.coalesce("reserve", F.lit(0.0)).alias("reserve"),
+            )
+            .filter((F.col("residual") != 0.0) | (F.col("reserve") != 0.0))
+        )
+        return new_live.unionByName(
+            frozen.select("source", "vid", "residual", "reserve")
+        ).repartition(self.graph.num_partitions, "vid")
+
+    def _per_source_l1(self, state: DataFrame) -> dict[int, float]:
+        rows = (
+            state.groupBy("source")
+            .agg(F.sum(F.abs(F.col("residual"))).alias("l1"))
+            .collect()
+        )
+        l1 = {int(r["source"]): float(r["l1"]) for r in rows}
+        for s in self.sources:
+            l1.setdefault(s, 0.0)
+        return l1
+
+    def push_to_convergence(self) -> PPRMetrics:
+        """Run synchronous supersteps until every source has ||r||_1 <= eps."""
+        t0 = time.time()
+        base = self.metrics.supersteps
+        # lineage truncated EVERY superstep (state is referenced 3x per
+        # push: absorb + scatter + merge — a lazy plan would triple per
+        # iteration; see operators/superstep.py for the same rationale)
+        state = self.state.localCheckpoint(eager=True)
+        l1 = self._per_source_l1(state)
+        live = [s for s in self.sources if l1[s] > self.eps]
+        steps = 0
+        while live and steps < self.max_supersteps:
+            steps += 1
+            state = self._push_superstep(state, live).localCheckpoint(
+                eager=True
+            )
+            l1 = self._per_source_l1(state)  # cheap: already materialized
+            live = [s for s in self.sources if l1[s] > self.eps]
+            self.metrics.history.append(
+                {"superstep": base + steps, "max_l1": max(l1.values())}
+            )
+            if steps % self.ckpt_every == 0 and self.ckpt_dir is not None:
+                state = self._checkpoint(state, base + steps, l1)
+        wall = time.time() - t0
+        self.state = state
+        self._converged = not live
+        self.metrics.supersteps = base + steps
+        self.metrics.wall_seconds += wall
+        if self.ckpt_dir is not None:
+            self.state = self._checkpoint(self.state, base + steps, l1)
+        return self.metrics
+
+    def _checkpoint(self, state: DataFrame, it: int, l1: dict) -> DataFrame:
+        from dynamicppr_spark.operators.superstep import _write_checkpoint
+        from pathlib import Path
+
+        ckpt = Path(self.ckpt_dir)
+        ckpt.mkdir(parents=True, exist_ok=True)
+        reread = _write_checkpoint(
+            state,
+            ckpt,
+            it,
+            {"delta": max(l1.values()) if l1 else 0.0,
+             "per_source_l1": {str(k): v for k, v in l1.items()}},
+            {"name": "ppr", "alpha": self.alpha, "eps": self.eps,
+             "partition_key": "vid",
+             "num_partitions": self.graph.num_partitions},
+        )
+        return reread
+
+    @classmethod
+    def resume(
+        cls, graph: LinkGraph, sources: list[int], ckpt_dir: str, **kwargs
+    ) -> "PPREngine":
+        """Resume a killed run mid-iteration from its durable checkpoint."""
+        from dynamicppr_spark.operators.superstep import latest_checkpoint
+
+        eng = cls(graph, sources, ckpt_dir=ckpt_dir, **kwargs)
+        found = latest_checkpoint(ckpt_dir)
+        if found is not None:
+            it, manifest = found
+            eng.state = graph.spark.read.parquet(f"{ckpt_dir}/it={it}")
+            eng.metrics.supersteps = it
+        return eng
+
+    # -------------------------------------------------------------- dynamic
+    def apply_updates(self, batch: DataFrame) -> PPRMetrics:
+        """K2: apply one batch of (op,src,dst) edge updates and re-push."""
+        t0 = time.time()
+        wall_before = self.metrics.wall_seconds
+        c = (1.0 - self.alpha) / self.alpha
+        old, new = self.graph, self.graph.with_updates(batch)
+        n_updates = batch.count()
+
+        touched = batch.select("src").distinct().persist(StorageLevel.MEMORY_AND_DISK)
+        old_e = old.edges.join(touched, "src", "left_semi")
+        new_e = new.edges.join(touched, "src", "left_semi")
+        added = new_e.join(old_e, ["src", "dst"], "left_anti")
+        removed = old_e.join(new_e, ["src", "dst"], "left_anti")
+
+        deg = (
+            touched.join(
+                old.out_degrees.withColumnRenamed("outdeg", "d_old"), "src", "left"
+            )
+            .join(new.out_degrees.withColumnRenamed("outdeg", "d_new"), "src", "left")
+            .select(
+                "src",
+                F.coalesce("d_old", F.lit(0)).alias("d_old"),
+                F.coalesce("d_new", F.lit(0)).alias("d_new"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # reserves of touched vertices, per source (p_u)
+        p_u = (
+            self.state.join(
+                touched.withColumnRenamed("src", "vid"), "vid", "left_semi"
+            )
+            .filter(F.col("reserve") != 0.0)
+            .select("source", F.col("vid").alias("src"), F.col("reserve").alias("p"))
+            .join(deg, "src")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        normal = p_u.filter((F.col("d_old") > 0) & (F.col("d_new") > 0))
+        trans = p_u.filter((F.col("d_old") == 0) | (F.col("d_new") == 0))
+
+        # --- normal case: only changed edges, old-degree denominator
+        dr_added = added.join(normal, "src").select(
+            "source", F.col("dst").alias("vid"),
+            (F.lit(c) * F.col("p") / F.col("d_old")).alias("dr"),
+        )
+        dr_removed = removed.join(normal, "src").select(
+            "source", F.col("dst").alias("vid"),
+            (-F.lit(c) * F.col("p") / F.col("d_old")).alias("dr"),
+        )
+        dr_self = normal.select(
+            "source", F.col("src").alias("vid"),
+            (
+                -F.col("p") * (F.col("d_new") - F.col("d_old"))
+                / (F.col("d_old") * F.lit(self.alpha))
+            ).alias("dr"),
+        )
+        # --- dangling transitions: full recompute of u's contribution row
+        dr_t_old_edges = old_e.join(trans.filter(F.col("d_old") > 0), "src").select(
+            "source", F.col("dst").alias("vid"),
+            (-F.lit(c) * F.col("p") / F.col("d_old")).alias("dr"),
+        )
+        dr_t_old_dang = trans.filter(F.col("d_old") == 0).select(
+            "source", F.col("src").alias("vid"), (-F.lit(c) * F.col("p")).alias("dr")
+        )
+        dr_t_new_edges = new_e.join(trans.filter(F.col("d_new") > 0), "src").select(
+            "source", F.col("dst").alias("vid"),
+            (F.lit(c) * F.col("p") / F.col("d_new")).alias("dr"),
+        )
+        dr_t_new_dang = trans.filter(F.col("d_new") == 0).select(
+            "source", F.col("src").alias("vid"), (F.lit(c) * F.col("p")).alias("dr")
+        )
+        deltas = (
+            dr_added.unionByName(dr_removed)
+            .unionByName(dr_self)
+            .unionByName(dr_t_old_edges)
+            .unionByName(dr_t_old_dang)
+            .unionByName(dr_t_new_edges)
+            .unionByName(dr_t_new_dang)
+            .groupBy("source", "vid")
+            .agg(F.sum("dr").alias("dr"))
+        )
+        # --- reserve rescale for the normal case: pi'[u] = pi[u] * d'/d
+        scale = deg.filter((F.col("d_old") > 0) & (F.col("d_new") > 0)).select(
+            F.col("src").alias("vid"),
+            (F.col("d_new").cast("double") / F.col("d_old")).alias("rscale"),
+        )
+        new_state = (
+            self.state.join(scale, "vid", "left")
+            .select(
+                "source", "vid", "residual",
+                (F.col("reserve") * F.coalesce("rscale", F.lit(1.0))).alias("reserve"),
+            )
+            .join(deltas, ["source", "vid"], "full_outer")
+            .select(
+                "source", "vid",
+                (
+                    F.coalesce("residual", F.lit(0.0))
+                    + F.coalesce("dr", F.lit(0.0))
+                ).alias("residual"),
+                F.coalesce("reserve", F.lit(0.0)).alias("reserve"),
+            )
+            .repartition(new.num_partitions, "vid")
+        )
+        self.state = new_state
+        prev_graph = self.graph
+        self.graph = new
+        self.push_to_convergence()
+        for df in (touched, deg, p_u):
+            df.unpersist()
+        prev_graph.unpersist()
+        self.metrics.updates_applied += n_updates
+        self.metrics.batches_applied += 1
+        # count full batch wall (prep + re-push), not just the push loop
+        self.metrics.wall_seconds = wall_before + (time.time() - t0)
+        return self.metrics
+
+    # -------------------------------------------------------------- queries
+    def scores(self) -> DataFrame:
+        """(source, vid, score) — converged reserves."""
+        return self.state.select(
+            "source", "vid", F.col("reserve").alias("score")
+        ).filter(F.col("score") != 0.0)
+
+    def top_k(self, k: int) -> DataFrame:
+        """(source, vid, score, rank) — K7, per-source top-k."""
+        w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("vid"))
+        return (
+            self.scores()
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
+
+def ppr(
+    graph: LinkGraph,
+    sources: list[int],
+    alpha: float = 0.15,
+    eps: float = 1e-6,
+    ckpt_dir: str | None = None,
+) -> DataFrame:
+    """Static multi-source PPR (K1/K8): (source, vid, score)."""
+    eng = PPREngine(graph, sources, alpha=alpha, eps=eps, ckpt_dir=ckpt_dir)
+    eng.push_to_convergence()
+    return eng.scores()

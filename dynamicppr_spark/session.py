@@ -1,0 +1,56 @@
+"""SparkSession construction with the engine's default configuration.
+
+Defaults chosen for the iterative link-graph workload:
+  - AQE on (runtime re-plan, skew-join splitting) — BASELINE.json north_star
+    calls for "AQE-tuned shuffles".
+  - Arrow on for all pandas/Arrow UDF boundaries (no per-row Python).
+  - UTC session timezone so results compare bit-stably against DuckDB.
+  - shuffle partitions sized to cores by default; iterative kernels
+    re-partition explicitly on their keys (see plans/partitioning.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ENGINE_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # iterative kernels checkpoint to truncate lineage; keep plans small
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "100000",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(
+    app_name: str = "dynamicppr-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster pass None and let spark-submit set it.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and os.environ.get("SPARK_GRAFT_CPUS"):
+        master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+    if master:
+        builder = builder.master(master)
+    confs = dict(ENGINE_CONFS)
+    if shuffle_partitions is not None:
+        confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_confs:
+        confs.update(extra_confs)
+    for k, v in confs.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
