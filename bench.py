@@ -1,0 +1,164 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Headline metrics (BASELINE.md):
+  - ppr_supersteps_per_sec : K1 synchronous push supersteps/sec
+  - edge_updates_per_sec   : K2 edge-updates-applied/sec (3 batches x 200)
+  - plus wall seconds per query in "queries"
+
+Scaling-efficiency protocol (BASELINE.md): run this same script twice,
+SPARK_GRAFT_CPUS=8 and =32, and compare throughput — tools/scaling_bench.py
+automates that and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import numpy as np  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from dynamicppr_spark.graph import LinkGraph  # noqa: E402
+from dynamicppr_spark.operators.pagerank import pagerank  # noqa: E402
+from dynamicppr_spark.operators.ppr import PPREngine  # noqa: E402
+from dynamicppr_spark.operators.triangles import triangle_count  # noqa: E402
+from dynamicppr_spark.session import get_spark  # noqa: E402
+from dynamicppr_spark.sources.tpch_graph import (  # noqa: E402
+    load_table,
+    part_cooccurrence_edges,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+PPR_SUPERSTEPS = int(os.environ.get("BENCH_PPR_SUPERSTEPS", "15"))
+PR_ITERS = int(os.environ.get("BENCH_PR_ITERS", "15"))
+N_UPDATE_BATCHES = int(os.environ.get("BENCH_UPDATE_BATCHES", "3"))
+UPDATES_PER_BATCH = int(os.environ.get("BENCH_UPDATES_PER_BATCH", "200"))
+
+
+def _update_batches(spark, vmax: int, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    out = []
+    for b in range(N_UPDATE_BATCHES):
+        src = rng.integers(0, vmax, UPDATES_PER_BATCH)
+        dst = rng.integers(0, vmax, UPDATES_PER_BATCH)
+        ops = np.where(rng.random(UPDATES_PER_BATCH) < 0.8, "+", "-")
+        rows = [
+            (str(o), int(s), int(d))
+            for o, s, d in zip(ops, src, dst)
+            if s != d
+        ]
+        out.append(
+            spark.createDataFrame(rows, "op string, src bigint, dst bigint")
+        )
+    return out
+
+
+def main() -> None:
+    sf = float(SF_DIR.rstrip("/").split("sf")[-1])
+    parts = max(64, 2 * CPUS)
+    spark = get_spark(
+        "dynamicppr-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=parts,
+    )
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name):
+        class _T:
+            def __enter__(self):
+                self.t = time.time()
+
+            def __exit__(self, *a):
+                timings[name] = round(time.time() - self.t, 3)
+
+        return _T()
+
+    # -------- graph build (ETL path: extraction + dedup + partitioning)
+    with timed("q_graph_build"):
+        edges = part_cooccurrence_edges(spark, SF_DIR, directed_both_ways=True)
+        g = LinkGraph(edges, num_partitions=parts)
+        n_edges = g.edges.count()
+        _ = g.scatter_edges.count()  # materialize the hot-loop edge side
+    extras["n_edges"] = n_edges
+    extras["n_vertices"] = g.num_vertices
+
+    # -------- K3 PageRank: fixed supersteps -> supersteps/sec
+    with timed("q_pagerank"):
+        pagerank(g, tol=0.0, max_iter=PR_ITERS)
+    extras["pagerank_supersteps_per_sec"] = round(
+        PR_ITERS / timings["q_pagerank"], 4
+    )
+
+    # -------- K1 static PPR: fixed supersteps -> supersteps/sec
+    with timed("q_ppr_static"):
+        eng = PPREngine(g, [1], eps=0.0, max_supersteps=PPR_SUPERSTEPS)
+        eng.push_to_convergence()
+    extras["ppr_supersteps_per_sec"] = round(
+        eng.metrics.supersteps / timings["q_ppr_static"], 4
+    )
+
+    # -------- K2 dynamic updates -> edge-updates-applied/sec
+    eng2 = PPREngine(g, [1], eps=1e-3)
+    eng2.push_to_convergence()
+    batches = _update_batches(spark, extras["n_vertices"])
+    with timed("q_ppr_updates"):
+        for b in batches:
+            eng2.apply_updates(b)
+    extras["edge_updates_per_sec"] = round(
+        eng2.metrics.updates_applied / timings["q_ppr_updates"], 4
+    )
+
+    # -------- K6 triangles
+    with timed("q_triangles"):
+        triangle_count(g).collect()
+
+    # -------- dedup + similarity over documents/embeddings
+    from dynamicppr_spark.functions.dedup import minhash_lsh_pairs
+    from dynamicppr_spark.functions.similarity import cosine_topk
+
+    with timed("q_minhash_lsh"):
+        docs = load_table(spark, SF_DIR, "documents")
+        minhash_lsh_pairs(docs, num_hashes=8, bands=4).count()
+    with timed("q_cosine_topk"):
+        emb = load_table(spark, SF_DIR, "embeddings")
+        cosine_topk(emb, k=5, n_queries=20).count()
+
+    # -------- relational spine (TPC-H Q1 style)
+    with timed("q_tpch_q1"):
+        li = load_table(spark, SF_DIR, "lineitem")
+        li.filter(F.col("l_shipdate") <= "1998-09-02").groupBy(
+            "l_returnflag", "l_linestatus"
+        ).agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.count("*").alias("n"),
+        ).collect()
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": CPUS,
+                "shuffle_partitions": parts,
+                **extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

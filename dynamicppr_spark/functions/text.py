@@ -111,19 +111,25 @@ def with_fingerprint(docs: DataFrame, col: str = "text") -> DataFrame:
 
 
 def shingle_table(docs: DataFrame, col: str = "text", k: int = 3) -> DataFrame:
-    """(doc_id, shingle_md5) — exploded k-word shingles, deduped per doc."""
+    """(doc_id, shingle_md5) — exploded k-word shingles, deduped per doc.
+
+    Docs with fewer than k tokens emit NO shingles (they opt out of
+    shingle-based dedup), mirroring the SQL oracle's ``len(t) >= k``
+    guard. The when() also keeps Spark 4 ANSI mode from throwing on the
+    out-of-bounds tok[i+j] lookups that an unguarded sequence would hit.
+    """
     norm = F.trim(F.lower(F.col(col)))
     toks = F.split(norm, r"\s+")
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
-    sh = F.transform(
-        idx,
-        lambda i: F.md5(
-            F.concat_ws(
-                " ", *[toks[i + F.lit(j)] for j in range(k)]
-            )
+    sh = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(k)),
+            lambda i: F.md5(
+                F.concat_ws(" ", *[toks[i + F.lit(j)] for j in range(k)])
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     return (
         docs.select("doc_id", F.explode(sh).alias("shingle"))
         .distinct()

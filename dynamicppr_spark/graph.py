@@ -79,24 +79,32 @@ class LinkGraph:
         vertices: DataFrame | None = None,
         num_partitions: int | None = None,
         persist: bool = True,
+        assume_normalized: bool = False,
     ) -> None:
+        """``assume_normalized=True`` skips the dedup/self-loop/repartition
+        pass — for internal callers (with_updates) that guarantee the edge
+        set is already a clean simple digraph; avoids re-shuffling the full
+        edge table on every small update batch."""
         spark = edges.sparkSession
         self.spark = spark
         self.num_partitions = int(
             num_partitions
             or spark.conf.get("spark.sql.shuffle.partitions", "32")
         )
-        e = (
-            edges.select(
-                F.col("src").cast("bigint").alias("src"),
-                F.col("dst").cast("bigint").alias("dst"),
+        if assume_normalized:
+            e = edges
+        else:
+            e = (
+                edges.select(
+                    F.col("src").cast("bigint").alias("src"),
+                    F.col("dst").cast("bigint").alias("dst"),
+                )
+                .filter(F.col("src") != F.col("dst"))
+                .dropDuplicates(["src", "dst"])
+                .repartition(self.num_partitions, "src")
             )
-            .filter(F.col("src") != F.col("dst"))
-            .dropDuplicates(["src", "dst"])
-            .repartition(self.num_partitions, "src")
-        )
         self.edges = e
-        if persist:
+        if persist and not assume_normalized:
             self.edges = e.persist(StorageLevel.MEMORY_AND_DISK)
         if vertices is not None:
             v = vertices.select(F.col("vid").cast("bigint").alias("vid"))
@@ -203,21 +211,104 @@ class LinkGraph:
     def with_updates(self, batch: DataFrame) -> "LinkGraph":
         """Apply one batch of edge updates, returning a new LinkGraph.
 
-        ``batch`` columns: (op: '+'/'-', src, dst). Inserts = union,
-        deletes = left-anti join (SURVEY.md §2 E9). Only the hash
-        partitions containing touched ``src`` values have different CSR
-        blocks; the rest are recomputed lazily but from unchanged inputs.
+        ``batch`` columns: (op: '+'/'-', src, dst). New edge set =
+        (old \\ deletes) ∪ inserts (SURVEY.md §2 E9).
+
+        FULLY INCREMENTAL — no full-edge-table shuffle per batch:
+          - edges: ONE broadcast anti-join of the old edges against the
+            (tiny) batch pair set, then union of the cleaned inserts;
+            the result is already a clean simple digraph
+            (assume_normalized), eagerly localCheckpoint'ed to truncate
+            the per-batch lineage chain.
+          - out_degrees / scatter table: rows for untouched src reused via
+            broadcast anti-join; only touched-src rows recomputed (a
+            filter + small groupBy, no shuffle of the untouched mass).
+          - CSR blocks: only hash partitions containing a touched src are
+            rebuilt (broadcast semi-join on part).
         """
-        ins = batch.filter(F.col("op") == "+").select("src", "dst")
-        dels = batch.filter(F.col("op") == "-").select("src", "dst")
-        new_edges = self.edges.join(
-            dels, ["src", "dst"], "left_anti"
-        ).unionByName(ins)
-        return LinkGraph(
-            new_edges,
-            num_partitions=self.num_partitions,
-            persist=self._persist,
+        p = self.num_partitions
+        ins = (
+            batch.filter(F.col("op") == "+")
+            .select(
+                F.col("src").cast("bigint").alias("src"),
+                F.col("dst").cast("bigint").alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .dropDuplicates(["src", "dst"])
         )
+        batch_pairs = batch.select(
+            F.col("src").cast("bigint").alias("src"),
+            F.col("dst").cast("bigint").alias("dst"),
+        ).dropDuplicates(["src", "dst"])
+        # (old \ (dels ∪ ins)) ∪ ins  ==  (old \ dels) ∪ ins
+        new_edges = self.edges.join(
+            F.broadcast(batch_pairs), ["src", "dst"], "left_anti"
+        ).unionByName(ins)
+        if self._persist:
+            new_edges = new_edges.localCheckpoint(eager=True)
+        new_graph = LinkGraph(
+            new_edges,
+            num_partitions=p,
+            persist=self._persist,
+            assume_normalized=True,
+        )
+        touched = batch.select(F.col("src").cast("bigint").alias("src")).distinct()
+        if self._out_degrees is not None:
+            recomputed = (
+                new_graph.edges.join(F.broadcast(touched), "src", "left_semi")
+                .groupBy("src")
+                .agg(F.count("*").alias("outdeg"))
+            )
+            patched_deg = self._out_degrees.join(
+                F.broadcast(touched), "src", "left_anti"
+            ).unionByName(recomputed)
+            if self._persist:
+                patched_deg = patched_deg.localCheckpoint(eager=True)
+            new_graph._out_degrees = patched_deg
+            if self._scatter is not None:
+                touched_scatter = (
+                    new_graph.edges.join(F.broadcast(touched), "src", "left_semi")
+                    .join(recomputed, "src")
+                    .select(
+                        "src",
+                        "dst",
+                        (F.lit(1.0) / F.col("outdeg").cast("double")).alias(
+                            "inv_outdeg"
+                        ),
+                    )
+                )
+                patched_scatter = self._scatter.join(
+                    F.broadcast(touched), "src", "left_anti"
+                ).unionByName(touched_scatter)
+                if self._persist:
+                    patched_scatter = patched_scatter.localCheckpoint(eager=True)
+                new_graph._scatter = patched_scatter
+        if self._csr is not None:
+            p = self.num_partitions
+            touched_parts = (
+                batch.select(
+                    F.pmod(F.col("src"), F.lit(p)).cast("int").alias("part")
+                )
+                .distinct()
+            )
+            untouched = self._csr.join(
+                F.broadcast(touched_parts), "part", "left_anti"
+            )
+            rebuilt = (
+                new_graph.edges.withColumn(
+                    "part", F.pmod(F.col("src"), F.lit(p)).cast("int")
+                )
+                .join(F.broadcast(touched_parts), "part", "left_semi")
+                .groupBy("part")
+                .applyInPandas(_build_csr_block, schema=CSR_SCHEMA)
+            )
+            patched = untouched.unionByName(rebuilt)
+            new_graph._csr = (
+                patched.persist(StorageLevel.MEMORY_AND_DISK)
+                if self._persist
+                else patched
+            )
+        return new_graph
 
     def unpersist(self) -> None:
         for df in (

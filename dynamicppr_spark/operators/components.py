@@ -51,19 +51,15 @@ def connected_components(
                 "component",
                 (F.col("component") != F.col("old")).cast("double").alias("delta"),
             )
-            .repartition(p, "vid")
         )
         return new
-
-    def metric(labels: DataFrame) -> dict:
-        changed = labels.agg(F.sum("delta")).collect()[0][0] or 0.0
-        return {"delta": float(changed)}
 
     result = run_superstep_loop(
         labels0,
         step,
-        metric,
+        None,
         tol=0.0,
+        observe={"delta": F.sum("delta"), "n": F.count(F.lit(1))},
         max_iter=max_iter,
         ckpt_dir=ckpt_dir,
         meta={"name": "connected_components", "partition_key": "vid",

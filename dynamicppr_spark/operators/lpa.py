@@ -51,19 +51,15 @@ def label_propagation(
                 .cast("double")
                 .alias("delta"),
             )
-            .repartition(p, "vid")
         )
         return new
-
-    def metric(labels: DataFrame) -> dict:
-        changed = labels.agg(F.sum("delta")).collect()[0][0] or 0.0
-        return {"delta": float(changed)}
 
     result = run_superstep_loop(
         labels0,
         step,
-        metric,
+        None,
         tol=-1.0,  # run exactly n_iter rounds (deterministic)
+        observe={"delta": F.sum("delta"), "n": F.count(F.lit(1))},
         max_iter=n_iter,
         ckpt_dir=ckpt_dir,
         meta={"name": "lpa", "partition_key": "vid", "num_partitions": p},

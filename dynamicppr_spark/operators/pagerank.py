@@ -5,20 +5,21 @@ dangling redistribution, stop at max|rank'-rank| <= tol).
 
 Scale design:
   - The (huge) scatter table (src, dst, inv_outdeg) is persisted
-    pre-partitioned on src (LinkGraph.scatter_edges); the per-iteration
-    rank join keys match that partitioning, so the only per-iteration
-    shuffles are the rank side and the groupBy(dst) partial+final
-    reduction (map-side combine is automatic).
-  - Dangling mass is one scalar aggregate per iteration (skipped entirely
-    when the graph has no dangling vertices).
-  - Lineage is truncated by the superstep harness every ``ckpt_every``
-    iterations; pass ``ckpt_dir`` for a durable, resumable run.
+    pre-partitioned on src (LinkGraph.scatter_edges); per iteration only
+    the (small) rank side and the groupBy(dst) partial+final reduction
+    shuffle (map-side combine is automatic).
+  - EXACTLY ONE Spark job per iteration: the rank state carries a
+    ``dang`` flag (computed once), and dangling mass + convergence delta +
+    total mass are all captured via ``observe`` during the superstep's
+    checkpoint job — no separate scalar aggregates. The dangling mass
+    observed at iteration i-1 feeds iteration i's teleport term.
+  - Lineage truncated every superstep by the harness; pass ``ckpt_dir``
+    for a durable, resumable run.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.storagelevel import StorageLevel
 
 from dynamicppr_spark.graph import LinkGraph
 from dynamicppr_spark.operators.superstep import SuperstepResult, run_superstep_loop
@@ -36,31 +37,25 @@ def pagerank(
     """PageRank scores as DataFrame (vid: bigint, score: double)."""
     n = graph.num_vertices
     scatter = graph.scatter_edges  # (src, dst, inv_outdeg), partitioned on src
-    p = graph.num_partitions
 
-    dangling_vids = (
+    outdeg_vids = graph.out_degrees.select(F.col("src").alias("vid"))
+    ranks0 = (
         graph.vertices.join(
-            graph.out_degrees.select(F.col("src").alias("vid")), "vid", "left_anti"
+            outdeg_vids.withColumn("dang", F.lit(False)), "vid", "left"
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .select(
+            "vid",
+            F.lit(1.0 / n).alias("score"),
+            F.lit(float("inf")).alias("delta"),
+            F.coalesce("dang", F.lit(True)).alias("dang"),
+        )
     )
-    has_dangling = dangling_vids.limit(1).count() > 0
-
-    ranks0 = graph.vertices.select(
-        "vid",
-        F.lit(1.0 / n).alias("score"),
-        F.lit(float("inf")).alias("delta"),
-    ).repartition(p, "vid")
+    # dangling mass of the CURRENT state, observed during the previous
+    # iteration's job (or computed once for the initial state)
+    dm_box = {"dm": ranks0.filter("dang").count() * (1.0 / n)}
 
     def step(ranks: DataFrame, _i: int) -> DataFrame:
-        dm = 0.0
-        if has_dangling:
-            dm = (
-                ranks.join(dangling_vids, "vid", "left_semi")
-                .agg(F.sum("score"))
-                .collect()[0][0]
-                or 0.0
-            )
+        dm = dm_box["dm"]
         contribs = (
             ranks.select("vid", "score")
             .join(scatter, ranks.vid == scatter.src)
@@ -69,7 +64,9 @@ def pagerank(
         )
         base = alpha / n + (1.0 - alpha) * dm / n
         new = (
-            ranks.select("vid", F.col("score").alias("old_score"))
+            ranks.select(
+                "vid", F.col("score").alias("old_score"), "dang"
+            )
             .join(contribs, ranks.vid == contribs.dst, "left")
             .select(
                 "vid",
@@ -78,27 +75,33 @@ def pagerank(
                     + F.lit(1.0 - alpha) * F.coalesce(F.col("c"), F.lit(0.0))
                 ).alias("score"),
                 F.col("old_score"),
+                "dang",
             )
             .select(
                 "vid",
                 "score",
                 F.abs(F.col("score") - F.col("old_score")).alias("delta"),
+                "dang",
             )
-            .repartition(p, "vid")
         )
         return new
 
-    def metric(ranks: DataFrame) -> dict:
-        row = ranks.agg(
-            F.max("delta").alias("delta"), F.sum("score").alias("mass")
-        ).collect()[0]
-        return {"delta": float(row["delta"]), "mass": float(row["mass"])}
+    observe = {
+        "delta": F.max("delta"),
+        "mass": F.sum("score"),
+        "dangling_mass": F.sum(F.when(F.col("dang"), F.col("score")).otherwise(0.0)),
+        "frontier": F.count(F.lit(1)),
+    }
+
+    def on_metrics(m: dict) -> None:
+        dm_box["dm"] = float(m.get("dangling_mass") or 0.0)
 
     result = run_superstep_loop(
         ranks0,
-        step,
-        metric,
+        lambda s, i: step(s, i),
+        None,
         tol=tol,
+        observe=observe,
         max_iter=max_iter,
         ckpt_dir=ckpt_dir,
         ckpt_every=ckpt_every,
@@ -107,10 +110,10 @@ def pagerank(
             "alpha": alpha,
             "tol": tol,
             "partition_key": "vid",
-            "num_partitions": p,
+            "num_partitions": graph.num_partitions,
         },
+        on_metrics=on_metrics,
     )
-    dangling_vids.unpersist()
     if return_result:
         result.state = result.state.select("vid", "score")
         return result

@@ -47,7 +47,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Observation, Window, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from dynamicppr_spark.graph import LinkGraph
@@ -84,12 +84,17 @@ class PPREngine:
         ckpt_dir: str | None = None,
         ckpt_every: int = 10,
         max_supersteps: int = 2000,
+        mode: str = "df",
     ) -> None:
+        """``mode``: 'df' = DataFrame scatter join (pure JVM/codegen);
+        'csr' = per-partition CSR-block gather-scatter via pandas/Arrow UDF
+        (operators/csr_kernel.py). Both implement identical semantics."""
         self.graph = graph
         self.spark = graph.spark
         self.sources = [int(s) for s in sources]
         self.alpha = float(alpha)
         self.eps = float(eps)
+        self.mode = mode
         self.ckpt_dir = ckpt_dir
         self.ckpt_every = ckpt_every
         self.max_supersteps = max_supersteps
@@ -98,14 +103,18 @@ class PPREngine:
             [(s, s, 1.0, 0.0) for s in self.sources], schema=STATE_SCHEMA
         ).repartition(graph.num_partitions, "vid")
         self._converged = False
+        self._dangling_possible = True
 
     # ------------------------------------------------------------ push loop
     def _push_superstep(self, state: DataFrame, live_sources: list[int]) -> DataFrame:
         """One synchronous superstep for the given sources; others frozen."""
         alpha = self.alpha
-        live_pred = F.col("source").isin(live_sources)
-        live = state.filter(live_pred)
-        frozen = state.filter(~live_pred)
+        if len(live_sources) == len(self.sources):
+            live, frozen = state, None  # common case: no frozen branch
+        else:
+            live_pred = F.col("source").isin(live_sources)
+            live = state.filter(live_pred)
+            frozen = state.filter(~live_pred)
 
         absorbed = live.select(
             "source",
@@ -113,34 +122,39 @@ class PPREngine:
             (F.col("reserve") + F.lit(alpha) * F.col("residual")).alias("reserve"),
         )
         active = live.filter(F.col("residual") != 0.0)
-        scatter = self.graph.scatter_edges  # (src, dst, inv_outdeg) part. on src
-        pushed = (
-            active.join(scatter, active.vid == scatter.src)
-            .select(
+        if self.mode == "csr":
+            from dynamicppr_spark.operators.csr_kernel import csr_scatter
+
+            pushed = csr_scatter(
+                active,
+                self.graph.csr_blocks(),
+                alpha,
+                self.graph.num_partitions,
+            )
+        else:
+            scatter = self.graph.scatter_edges  # (src,dst,inv_outdeg) on src
+            pushed = active.join(scatter, active.vid == scatter.src).select(
                 "source",
                 F.col("dst").alias("vid"),
                 (
                     F.lit(1.0 - alpha) * F.col("residual") * F.col("inv_outdeg")
                 ).alias("dr"),
             )
-        )
-        dangling = (
-            active.join(
-                self.graph.out_degrees.select(F.col("src").alias("vid")),
-                "vid",
-                "left_anti",
-            )
-            .select(
-                "source",
-                "vid",
-                (F.lit(1.0 - alpha) * F.col("residual")).alias("dr"),
-            )
-        )
-        deltas = (
-            pushed.unionByName(dangling)
-            .groupBy("source", "vid")
-            .agg(F.sum("dr").alias("dr"))
-        )
+            if self._dangling_possible:
+                dangling = (
+                    active.join(
+                        self.graph.out_degrees.select(F.col("src").alias("vid")),
+                        "vid",
+                        "left_anti",
+                    )
+                    .select(
+                        "source",
+                        "vid",
+                        (F.lit(1.0 - alpha) * F.col("residual")).alias("dr"),
+                    )
+                )
+                pushed = pushed.unionByName(dangling)
+        deltas = pushed.groupBy("source", "vid").agg(F.sum("dr").alias("dr"))
         new_live = (
             absorbed.join(deltas, ["source", "vid"], "full_outer")
             .select(
@@ -151,9 +165,11 @@ class PPREngine:
             )
             .filter((F.col("residual") != 0.0) | (F.col("reserve") != 0.0))
         )
+        if frozen is None:
+            return new_live
         return new_live.unionByName(
             frozen.select("source", "vid", "residual", "reserve")
-        ).repartition(self.graph.num_partitions, "vid")
+        )
 
     def _per_source_l1(self, state: DataFrame) -> dict[int, float]:
         rows = (
@@ -166,6 +182,33 @@ class PPREngine:
             l1.setdefault(s, 0.0)
         return l1
 
+    def _l1_observation(self):
+        """Per-source ||r||_1 as observe() aggregates — captured during the
+        superstep's own checkpoint job, no extra Spark job per step."""
+        return {
+            f"l1_{s}": F.sum(
+                F.when(F.col("source") == s, F.abs(F.col("residual"))).otherwise(
+                    0.0
+                )
+            )
+            for s in self.sources
+        }
+
+    def _check_dangling_possible(self, state: DataFrame) -> bool:
+        """True unless no residual can ever land on an outdeg-0 vertex:
+        both the graph's vertices and the current state's vids must all
+        have out-edges. Checked once per push run (not per superstep)."""
+        outv = self.graph.out_degrees.select(F.col("src").alias("vid"))
+        if (
+            self.graph.vertices.join(outv, "vid", "left_anti").limit(1).count()
+            > 0
+        ):
+            return True
+        return (
+            state.select("vid").join(outv, "vid", "left_anti").limit(1).count()
+            > 0
+        )
+
     def push_to_convergence(self) -> PPRMetrics:
         """Run synchronous supersteps until every source has ||r||_1 <= eps."""
         t0 = time.time()
@@ -174,15 +217,21 @@ class PPREngine:
         # push: absorb + scatter + merge — a lazy plan would triple per
         # iteration; see operators/superstep.py for the same rationale)
         state = self.state.localCheckpoint(eager=True)
+        self._dangling_possible = self._check_dangling_possible(state)
+        obs_exprs = self._l1_observation()
         l1 = self._per_source_l1(state)
         live = [s for s in self.sources if l1[s] > self.eps]
         steps = 0
         while live and steps < self.max_supersteps:
             steps += 1
-            state = self._push_superstep(state, live).localCheckpoint(
-                eager=True
+            obs = Observation()
+            state = (
+                self._push_superstep(state, live)
+                .observe(obs, *[c.alias(k) for k, c in obs_exprs.items()])
+                .localCheckpoint(eager=True)
             )
-            l1 = self._per_source_l1(state)  # cheap: already materialized
+            got = obs.get
+            l1 = {s: float(got[f"l1_{s}"] or 0.0) for s in self.sources}
             live = [s for s in self.sources if l1[s] > self.eps]
             self.metrics.history.append(
                 {"superstep": base + steps, "max_l1": max(l1.values())}

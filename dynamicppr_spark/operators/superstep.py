@@ -17,7 +17,7 @@ from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Callable
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Observation, functions as F
 from pyspark.storagelevel import StorageLevel
 
 StepFn = Callable[[DataFrame, int], DataFrame]
@@ -108,24 +108,29 @@ def _write_checkpoint(
 def run_superstep_loop(
     state: DataFrame,
     step: StepFn,
-    metric: MetricFn,
+    metric: MetricFn | None = None,
     *,
     tol: float,
     metric_key: str = "delta",
+    observe: dict[str, Column] | None = None,
     max_iter: int = 200,
     ckpt_dir: str | Path | None = None,
     ckpt_every: int = 8,
     resume: bool = True,
     meta: dict | None = None,
+    on_metrics: Callable[[dict], None] | None = None,
 ) -> SuperstepResult:
-    """Iterate ``state = step(state, i)`` until ``metric(state)[metric_key]
-    <= tol`` or ``max_iter``.
+    """Iterate ``state = step(state, i)`` until the convergence metric
+    reaches ``tol`` or ``max_iter``.
 
-    - Each new state is persisted and the previous unpersisted; the metric
-      action materializes it, so exactly one pass of work per superstep.
-    - Every ``ckpt_every`` supersteps the lineage is truncated: durable
-      parquet + manifest when ``ckpt_dir`` is given (resumable), else
-      ``localCheckpoint`` (fast, session-local).
+    Convergence metrics come from ``observe`` (dict of name -> aggregate
+    Column) when given: they are captured DURING the checkpoint job via
+    ``DataFrame.observe`` — zero extra Spark jobs per superstep. Fall back
+    to ``metric(state)`` (an explicit action) otherwise.
+
+    - Lineage is truncated EVERY superstep (see comment below).
+    - Every ``ckpt_every`` supersteps a durable parquet + manifest
+      checkpoint is written when ``ckpt_dir`` is given (resumable).
     - ``resume=True`` + existing valid checkpoint: continue mid-iteration.
     """
     meta = dict(meta or {})
@@ -144,6 +149,8 @@ def run_superstep_loop(
                 resumed_from = start_iter
                 state = spark.read.parquet(str(ckpt_dir / f"it={start_iter}"))
                 history.append(manifest["metrics"])
+                if on_metrics is not None:
+                    on_metrics(manifest["metrics"])
                 if manifest["metrics"].get(metric_key, float("inf")) <= tol:
                     return SuperstepResult(
                         state, start_iter, True, manifest["metrics"],
@@ -161,10 +168,21 @@ def run_superstep_loop(
     metrics: dict = {}
     it = start_iter
     for it in range(start_iter + 1, max_iter + 1):
-        new_state = step(state, it).localCheckpoint(eager=True)
-        metrics = metric(new_state)  # cheap: data already materialized
+        new_state = step(state, it)
+        if observe is not None:
+            obs = Observation()  # auto-named: unique per superstep
+            new_state = new_state.observe(
+                obs, *[c.alias(k) for k, c in observe.items()]
+            )
+            new_state = new_state.localCheckpoint(eager=True)
+            metrics = {k: (v if v is not None else 0.0) for k, v in obs.get.items()}
+        else:
+            new_state = new_state.localCheckpoint(eager=True)
+            metrics = metric(new_state)  # cheap: data already materialized
         metrics["iteration"] = it
         history.append(metrics)
+        if on_metrics is not None:
+            on_metrics(metrics)
         state = new_state
         if metrics[metric_key] <= tol:
             converged = True

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-UPDATE_SCHEMA = "batch_id int, op string, src bigint, dst bigint, ts timestamp"
+UPDATE_SCHEMA = "batch_id bigint, op string, src bigint, dst bigint, ts timestamp"
 
 
 def run_update_stream(

@@ -1,0 +1,89 @@
+"""spark-submit entrypoint: static + dynamic PPR over an edge parquet.
+
+Ship the package alongside (BASELINE.json north_star: "ships via
+spark-submit --py-files to multi-executor clusters"):
+
+    python tools/package.py                      # builds dist/dynamicppr_spark.zip
+    spark-submit --master <cluster> \
+        --py-files dist/dynamicppr_spark.zip \
+        jobs/run_ppr.py --edges <parquet> --sources 0,1 \
+        [--updates <parquet>] [--eps 1e-6] [--alpha 0.15] \
+        [--mode df|csr] [--ckpt-dir <dir>] [--out <parquet>]
+
+On a cluster pass no --master here; locally defaults to local[*].
+Emits one JSON metrics line on stdout and (optionally) writes scores.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession, functions as F
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--edges", required=True, help="parquet with (src,dst)")
+    ap.add_argument("--sources", required=True, help="comma-separated vids")
+    ap.add_argument("--updates", help="parquet with (batch_id,op,src,dst)")
+    ap.add_argument("--alpha", type=float, default=0.15)
+    ap.add_argument("--eps", type=float, default=1e-6)
+    ap.add_argument("--mode", choices=["df", "csr"], default="df")
+    ap.add_argument("--num-partitions", type=int, default=None)
+    ap.add_argument("--ckpt-dir", default=None)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    from dynamicppr_spark.graph import LinkGraph
+    from dynamicppr_spark.operators.ppr import PPREngine
+    from dynamicppr_spark.session import ENGINE_CONFS
+
+    builder = SparkSession.builder.appName("dynamicppr-run-ppr")
+    for k, v in ENGINE_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    graph = LinkGraph(
+        spark.read.parquet(args.edges), num_partitions=args.num_partitions
+    )
+    sources = [int(s) for s in args.sources.split(",")]
+    eng = PPREngine(
+        graph,
+        sources,
+        alpha=args.alpha,
+        eps=args.eps,
+        ckpt_dir=args.ckpt_dir,
+        mode=args.mode,
+    )
+    eng.push_to_convergence()
+    if args.updates:
+        upd = spark.read.parquet(args.updates)
+        bids = [r[0] for r in upd.select("batch_id").distinct().orderBy("batch_id").collect()]
+        for bid in bids:
+            eng.apply_updates(
+                upd.filter(F.col("batch_id") == bid).select("op", "src", "dst")
+            )
+    if args.out:
+        eng.scores().write.mode("overwrite").parquet(args.out)
+    m = eng.metrics
+    print(
+        json.dumps(
+            {
+                "supersteps": m.supersteps,
+                "wall_seconds": round(m.wall_seconds, 3),
+                "supersteps_per_sec": round(m.supersteps_per_sec, 4),
+                "updates_applied": m.updates_applied,
+                "updates_per_sec": round(m.updates_per_sec, 4),
+                "batches_applied": m.batches_applied,
+                "mode": args.mode,
+                "sources": sources,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -57,6 +57,35 @@ def test_with_updates(spark, make_graph):
     assert got == [(0, 1), (1, 2), (2, 3), (4, 0)]
 
 
+def test_incremental_csr_patch(spark, make_graph):
+    """E9: patched CSR blocks == CSR blocks rebuilt from scratch."""
+    edges, n = fixtures.rmat_graph(n=200, m=1500)
+    g = make_graph(edges, n)
+    _ = g.csr_blocks().count()  # materialize so with_updates patches
+    batch = spark.createDataFrame(
+        [("+", 3, 180), ("+", 3, 181), ("-", int(edges[0][0]), int(edges[0][1]))],
+        "op string, src bigint, dst bigint",
+    )
+    g2 = g.with_updates(batch)
+
+    def flatten(blocks):
+        out = []
+        for b in blocks:
+            for i, s in enumerate(b.srcs):
+                for d in b.dsts[b.indptr[i] : b.indptr[i + 1]]:
+                    out.append((s, d))
+        return sorted(out)
+
+    patched = flatten(g2.csr_blocks().collect())
+    from dynamicppr_spark.graph import LinkGraph
+
+    fresh = LinkGraph(g2.edges, num_partitions=g.num_partitions)
+    assert patched == flatten(fresh.csr_blocks().collect())
+    assert sorted(patched) == sorted(
+        (r.src, r.dst) for r in g2.edges.collect()
+    )
+
+
 def test_sha256_invariant(spark):
     """Content sha256 must survive a Spark round trip (BASELINE.json:15)."""
     pdf = fixtures.repo_files(n_repos=1, paths_per_repo=5, commits_per_repo=2)

@@ -1,0 +1,70 @@
+"""Structured Streaming surface: update feed -> foreachBatch -> PPREngine."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dynamicppr_spark.operators.ppr import PPREngine
+from dynamicppr_spark.streaming.updates import (
+    UPDATE_SCHEMA,
+    run_update_stream,
+    windowed_update_stats,
+)
+from tests import fixtures, oracle
+
+
+@pytest.fixture()
+def update_dir(spark, tmp_path):
+    """Parquet directory acting as a file-stream source of edge updates."""
+    edges, n = fixtures.cycle_graph(12)
+    script = fixtures.update_script(edges, n, "mixed", n_batches=2)
+    sdf = spark.createDataFrame(script[["batch_id", "op", "src", "dst", "ts"]])
+    path = tmp_path / "updates"
+    sdf.coalesce(1).write.parquet(str(path))
+    return str(path), edges, n, script
+
+
+def test_stream_drives_dynamic_ppr(spark, make_graph, update_dir):
+    path, edges, n, script = update_dir
+    eng = PPREngine(make_graph(edges, n), [0], eps=1e-4)
+    eng.push_to_convergence()
+    stream = spark.readStream.schema(UPDATE_SCHEMA).parquet(path)
+    q = run_update_stream(eng, stream)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert eng.metrics.batches_applied == 2
+    # end state matches static recompute on the final graph
+    final_edges = fixtures.apply_script_numpy(edges, script)
+    want = oracle.ppr_exact(final_edges, n, 0)
+    got = np.zeros(n)
+    for r in eng.scores().collect():
+        got[int(r.vid)] = r.score
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_windowed_update_stats(spark, update_dir, tmp_path):
+    path, _, _, script = update_dir
+    stream = spark.readStream.schema(UPDATE_SCHEMA).parquet(path)
+    q = (
+        windowed_update_stats(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("upd_stats")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("select * from upd_stats").collect()
+    # append mode emits only watermark-closed windows; accept >= 0 rows but
+    # verify the aggregation plan executes and schema is as declared
+    assert {c for c in spark.table("upd_stats").columns} == {
+        "win_start", "op", "n",
+    }
+    total = sum(r.n for r in rows)
+    assert total <= len(script)

@@ -1,0 +1,106 @@
+"""Scaling-efficiency evidence (BASELINE.md protocol): run bench.py at
+two parallelism levels (local[8] = N, local[32] = 4N — sandbox stand-in
+for N vs 4N executors per the driver instruction), compute
+efficiency = throughput(32) / (4 * throughput(8)) per kernel, and write
+BENCH/BASELINE.md.
+
+Usage: python tools/scaling_bench.py [--sf-dir DIR] [--low 8] [--high 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+KERNEL_THROUGHPUTS = {
+    "PPR supersteps/sec (K1)": "ppr_supersteps_per_sec",
+    "PageRank supersteps/sec (K3)": "pagerank_supersteps_per_sec",
+    "edge-updates-applied/sec (K2)": "edge_updates_per_sec",
+}
+
+
+def run_bench(cpus: int, sf_dir: str) -> dict:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = str(cpus)
+    env["SPARK_GRAFT_SF_DIR"] = sf_dir
+    t0 = time.time()
+    out = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+        check=True,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    res = json.loads(line)
+    res["_wall"] = time.time() - t0
+    return res
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    args = ap.parse_args()
+    factor = args.high / args.low
+
+    print(f"bench @ local[{args.low}] ...", file=sys.stderr)
+    lo = run_bench(args.low, args.sf_dir)
+    print(f"bench @ local[{args.high}] ...", file=sys.stderr)
+    hi = run_bench(args.high, args.sf_dir)
+
+    lines = [
+        "# BENCH — measured baseline + scaling efficiency",
+        "",
+        f"Input: `{args.sf_dir}` (sf={lo['sf']}), identical code/data at",
+        f"`local[{args.low}]` (N) vs `local[{args.high}]` (4N) —",
+        "sandbox stand-in for N vs 4N executors (no real cluster; per",
+        "driver instruction). efficiency = throughput(4N) / "
+        f"({factor:.0f} x throughput(N)); target >= 0.8 for the",
+        "cluster-size criterion in BASELINE.json.",
+        "",
+        f"Graph: {lo.get('n_vertices')} vertices, {lo.get('n_edges')} edges;",
+        f"shuffle partitions: {lo['shuffle_partitions']} (N) / {hi['shuffle_partitions']} (4N).",
+        "",
+        "| kernel | throughput @N | throughput @4N | efficiency |",
+        "|---|---|---|---|",
+    ]
+    effs = {}
+    for label, key in KERNEL_THROUGHPUTS.items():
+        tl, th = lo.get(key, 0.0), hi.get(key, 0.0)
+        eff = th / (factor * tl) if tl else 0.0
+        effs[key] = round(eff, 3)
+        lines.append(f"| {label} | {tl:.3f} | {th:.3f} | **{eff:.3f}** |")
+    lines += [
+        "",
+        "| query | sec @N | sec @4N | speedup |",
+        "|---|---|---|---|",
+    ]
+    for q in lo["queries"]:
+        a, b = lo["queries"][q], hi["queries"][q]
+        lines.append(f"| {q} | {a:.2f} | {b:.2f} | {a/b if b else 0:.2f}x |")
+    lines += [
+        "",
+        "Raw JSON:",
+        "```json",
+        json.dumps(lo),
+        json.dumps(hi),
+        "```",
+    ]
+    out = REPO / "BENCH"
+    out.mkdir(exist_ok=True)
+    (out / "BASELINE.md").write_text("\n".join(lines) + "\n")
+    print(json.dumps({"efficiency": effs, "low": lo, "high": hi}))
+
+
+if __name__ == "__main__":
+    main()
