@@ -24,6 +24,7 @@ def connected_components(
     sym = graph.symmetrized()
     p = graph.num_partitions
     edges = sym.edges.persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count()  # pre-materialize: checkpoint rotation must not capture it
 
     labels0 = graph.vertices.select(
         "vid", F.col("vid").alias("component"), F.lit(1.0).alias("delta")

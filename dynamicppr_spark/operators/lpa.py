@@ -23,6 +23,7 @@ def label_propagation(
     sym = graph.symmetrized()
     p = graph.num_partitions
     edges = sym.edges.persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count()  # pre-materialize: checkpoint rotation must not capture it
 
     labels0 = graph.vertices.select(
         "vid", F.col("vid").alias("label"), F.lit(1.0).alias("delta")

@@ -37,6 +37,7 @@ def pagerank(
     """PageRank scores as DataFrame (vid: bigint, score: double)."""
     n = graph.num_vertices
     scatter = graph.scatter_edges  # (src, dst, inv_outdeg), partitioned on src
+    scatter.count()  # pre-materialize: checkpoint rotation must not capture it
 
     outdeg_vids = graph.out_degrees.select(F.col("src").alias("vid"))
     ranks0 = (
@@ -55,25 +56,39 @@ def pagerank(
     dm_box = {"dm": ranks0.filter("dang").count() * (1.0 / n)}
 
     def step(ranks: DataFrame, _i: int) -> DataFrame:
+        # single-shuffle iteration: raw contributions and the carrier row
+        # (old score + dang flag) union into ONE groupBy(vid) reduction —
+        # no separate aggregate + merge-join stages (stage barriers are
+        # serial driver time that caps scaling efficiency)
         dm = dm_box["dm"]
         contribs = (
             ranks.select("vid", "score")
             .join(scatter, ranks.vid == scatter.src)
-            .groupBy("dst")
-            .agg(F.sum(F.col("score") * F.col("inv_outdeg")).alias("c"))
+            .select(
+                F.col("dst").alias("vid"),
+                (F.col("score") * F.col("inv_outdeg")).alias("c"),
+                F.lit(None).cast("double").alias("old_score"),
+                F.lit(None).cast("boolean").alias("dang"),
+            )
+        )
+        carrier = ranks.select(
+            "vid",
+            F.lit(0.0).alias("c"),
+            F.col("score").alias("old_score"),
+            "dang",
         )
         base = alpha / n + (1.0 - alpha) * dm / n
         new = (
-            ranks.select(
-                "vid", F.col("score").alias("old_score"), "dang"
+            carrier.unionByName(contribs)
+            .groupBy("vid")
+            .agg(
+                F.sum("c").alias("c"),
+                F.max("old_score").alias("old_score"),
+                F.max("dang").alias("dang"),
             )
-            .join(contribs, ranks.vid == contribs.dst, "left")
             .select(
                 "vid",
-                (
-                    F.lit(base)
-                    + F.lit(1.0 - alpha) * F.coalesce(F.col("c"), F.lit(0.0))
-                ).alias("score"),
+                (F.lit(base) + F.lit(1.0 - alpha) * F.col("c")).alias("score"),
                 F.col("old_score"),
                 "dang",
             )

@@ -104,6 +104,11 @@ class PPREngine:
         ).repartition(graph.num_partitions, "vid")
         self._converged = False
         self._dangling_possible = True
+        self._per_source_freeze = True
+        # broadcast the frontier into the scatter join while the state is
+        # small (rows tracked via the superstep observation)
+        self.broadcast_max_rows = 4_000_000
+        self._broadcast_frontier = True
 
     # ------------------------------------------------------------ push loop
     def _push_superstep(self, state: DataFrame, live_sources: list[int]) -> DataFrame:
@@ -116,9 +121,14 @@ class PPREngine:
             live = state.filter(live_pred)
             frozen = state.filter(~live_pred)
 
+        # single-shuffle superstep: the absorbed state and the raw push
+        # contributions are unioned and reduced by ONE groupBy(source, vid)
+        # — replaces the old 3-stage groupBy + full_outer-merge pipeline
+        # (each stage barrier is serial driver time that caps scaling)
         absorbed = live.select(
             "source",
             "vid",
+            F.lit(0.0).alias("residual"),
             (F.col("reserve") + F.lit(alpha) * F.col("residual")).alias("reserve"),
         )
         active = live.filter(F.col("residual") != 0.0)
@@ -130,15 +140,22 @@ class PPREngine:
                 self.graph.csr_blocks(),
                 alpha,
                 self.graph.num_partitions,
-            )
+            ).withColumnRenamed("dr", "residual")
         else:
             scatter = self.graph.scatter_edges  # (src,dst,inv_outdeg) on src
+            if self._broadcast_frontier:
+                # forward-push frontiers are small by construction: ship the
+                # frontier to the (persisted, partitioned) scatter table and
+                # probe in place — zero shuffle/sort of the edge side per
+                # superstep. Falls back to a shuffled join when the state
+                # grows past the broadcast threshold (see push loop).
+                active = F.broadcast(active)
             pushed = active.join(scatter, active.vid == scatter.src).select(
                 "source",
                 F.col("dst").alias("vid"),
                 (
                     F.lit(1.0 - alpha) * F.col("residual") * F.col("inv_outdeg")
-                ).alias("dr"),
+                ).alias("residual"),
             )
             if self._dangling_possible:
                 dangling = (
@@ -150,18 +167,17 @@ class PPREngine:
                     .select(
                         "source",
                         "vid",
-                        (F.lit(1.0 - alpha) * F.col("residual")).alias("dr"),
+                        (F.lit(1.0 - alpha) * F.col("residual")).alias("residual"),
                     )
                 )
                 pushed = pushed.unionByName(dangling)
-        deltas = pushed.groupBy("source", "vid").agg(F.sum("dr").alias("dr"))
+        pushed = pushed.withColumn("reserve", F.lit(0.0))
         new_live = (
-            absorbed.join(deltas, ["source", "vid"], "full_outer")
-            .select(
-                "source",
-                "vid",
-                F.coalesce("dr", F.lit(0.0)).alias("residual"),
-                F.coalesce("reserve", F.lit(0.0)).alias("reserve"),
+            absorbed.unionByName(pushed)
+            .groupBy("source", "vid")
+            .agg(
+                F.sum("residual").alias("residual"),
+                F.sum("reserve").alias("reserve"),
             )
             .filter((F.col("residual") != 0.0) | (F.col("reserve") != 0.0))
         )
@@ -183,16 +199,25 @@ class PPREngine:
         return l1
 
     def _l1_observation(self):
-        """Per-source ||r||_1 as observe() aggregates — captured during the
-        superstep's own checkpoint job, no extra Spark job per step."""
-        return {
-            f"l1_{s}": F.sum(
-                F.when(F.col("source") == s, F.abs(F.col("residual"))).otherwise(
-                    0.0
+        """||r||_1 as observe() aggregates — captured during the superstep's
+        own checkpoint job, no extra Spark job per step.
+
+        <=32 sources: one conditional sum per source (enables per-source
+        freezing and exact superstep parity with the sequential oracle).
+        >32 sources: a single GLOBAL L1 — still a sound stop rule, since
+        global L1 <= eps implies every source's L1 <= eps; freezing is
+        disabled (extra pushes only refine converged sources within eps).
+        """
+        if self._per_source_freeze:
+            return {
+                f"l1_{s}": F.sum(
+                    F.when(
+                        F.col("source") == s, F.abs(F.col("residual"))
+                    ).otherwise(0.0)
                 )
-            )
-            for s in self.sources
-        }
+                for s in self.sources
+            }
+        return {"l1_all": F.sum(F.abs(F.col("residual")))}
 
     def _check_dangling_possible(self, state: DataFrame) -> bool:
         """True unless no residual can ever land on an outdeg-0 vertex:
@@ -213,25 +238,47 @@ class PPREngine:
         """Run synchronous supersteps until every source has ||r||_1 <= eps."""
         t0 = time.time()
         base = self.metrics.supersteps
+        # pre-materialize graph caches so checkpoint rotation (below) never
+        # captures them as superstep state
+        if self.mode == "csr":
+            self.graph.csr_blocks().count()
+        else:
+            self.graph.scatter_edges.count()
+            self.graph.out_degrees.count()
+        from dynamicppr_spark.operators.superstep import CheckpointRotator
+
+        if not hasattr(self, "_rotator"):
+            self._rotator = CheckpointRotator(self.spark)
+        rotator = self._rotator  # engine-scoped: rotates across batches too
         # lineage truncated EVERY superstep (state is referenced 3x per
         # push: absorb + scatter + merge — a lazy plan would triple per
-        # iteration; see operators/superstep.py for the same rationale)
-        state = self.state.localCheckpoint(eager=True)
+        # iteration; see operators/superstep.py for the same rationale);
+        # the rotator unpersists the previous superstep's blocks
+        state = rotator.checkpoint(self.state)
         self._dangling_possible = self._check_dangling_possible(state)
+        self._per_source_freeze = len(self.sources) <= 32
         obs_exprs = self._l1_observation()
+        obs_exprs["state_rows"] = F.count(F.lit(1))
         l1 = self._per_source_l1(state)
         live = [s for s in self.sources if l1[s] > self.eps]
         steps = 0
         while live and steps < self.max_supersteps:
             steps += 1
             obs = Observation()
-            state = (
-                self._push_superstep(state, live)
-                .observe(obs, *[c.alias(k) for k, c in obs_exprs.items()])
-                .localCheckpoint(eager=True)
+            state = rotator.checkpoint(
+                self._push_superstep(state, live).observe(
+                    obs, *[c.alias(k) for k, c in obs_exprs.items()]
+                )
             )
             got = obs.get
-            l1 = {s: float(got[f"l1_{s}"] or 0.0) for s in self.sources}
+            self._broadcast_frontier = (
+                int(got.get("state_rows") or 0) <= self.broadcast_max_rows
+            )
+            if self._per_source_freeze:
+                l1 = {s: float(got[f"l1_{s}"] or 0.0) for s in self.sources}
+            else:
+                g_l1 = float(got["l1_all"] or 0.0)
+                l1 = {s: g_l1 for s in self.sources}
             live = [s for s in self.sources if l1[s] > self.eps]
             self.metrics.history.append(
                 {"superstep": base + steps, "max_l1": max(l1.values())}

@@ -19,6 +19,9 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # iterative kernels: hash joins beat sort-merge (no per-superstep
+    # re-sort of the persisted scatter table)
+    "spark.sql.join.preferSortMergeJoin": "false",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     # iterative kernels checkpoint to truncate lineage; keep plans small

@@ -1,0 +1,23 @@
+"""Round 2 experiment: single-shuffle superstep, df mode, AQE off, scaling
+with n_sources. Usage: python tools/exp_scaling2.py <cpus>"""
+import json, sys, time
+from pathlib import Path
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+from pyspark.sql import functions as F
+from dynamicppr_spark.graph import LinkGraph
+from dynamicppr_spark.operators.ppr import PPREngine
+from dynamicppr_spark.session import get_spark
+from dynamicppr_spark.sources.tpch_graph import part_cooccurrence_edges
+
+CPUS = int(sys.argv[1])
+spark = get_spark(f"exp2_{CPUS}", master=f"local[{CPUS}]", shuffle_partitions=64)
+spark.conf.set("spark.sql.adaptive.enabled", "false")
+edges = part_cooccurrence_edges(spark, "/root/testdata/sf0.1", directed_both_ways=True)
+g = LinkGraph(edges, num_partitions=64)
+g.scatter_edges.count()
+top = [r["src"] for r in g.out_degrees.orderBy(F.desc("outdeg"), F.asc("src")).limit(128).collect()]
+for ns, steps in ((1, 10), (32, 6), (128, 4)):
+    eng = PPREngine(g, top[:ns], eps=0.0, max_supersteps=steps, mode="df")
+    t = time.time(); eng.push_to_convergence(); w = time.time() - t
+    print(json.dumps({"cpus": CPUS, "n_sources": ns, "steps_per_sec": round(steps / w, 4), "wall": round(w, 2)}), flush=True)
+spark.stop()
