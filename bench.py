@@ -64,10 +64,16 @@ def _update_batches(spark, vmax: int, seed: int = 42):
 def main() -> None:
     sf = float(SF_DIR.rstrip("/").split("sf")[-1])
     parts = max(64, 2 * CPUS)
+    extra = {}
+    if os.environ.get("BENCH_AQE", "true") == "false":
+        # iterative kernels: AQE's per-stage re-planning is serial driver
+        # time; the scaling runs disable it (fixed-size supersteps)
+        extra["spark.sql.adaptive.enabled"] = "false"
     spark = get_spark(
         "dynamicppr-bench",
         master=f"local[{CPUS}]",
         shuffle_partitions=parts,
+        extra_confs=extra,
     )
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
