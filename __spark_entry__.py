@@ -238,6 +238,34 @@ def _q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -------- non-SQL-expressible (rows-only check; real gates live in pytest)
+def _q_supplier_customer_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite order-flow graph (supplier -> customer) degree profile."""
+    from dynamicppr_spark.sources.tpch_graph import supplier_customer_edges
+
+    e = supplier_customer_edges(spark, sf_dir)
+    return (
+        e.groupBy("src")
+        .agg(F.count("*").alias("n_customers"))
+        .groupBy("n_customers")
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+
+
+def _q_events_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window analytics: per-user value delta vs previous event (lag)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_value", F.lag("value").over(w))
+        .filter(F.col("prev_value").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.col("value") - F.col("prev_value"), 6).alias("value_delta"),
+        )
+    )
+
+
 def _q_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dynamicppr_spark.operators.pagerank import pagerank
 
@@ -328,6 +356,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash": _q_doc_minhash,
         "embedding_topk": _q_embedding_topk,
         "embedding_centroids": _q_embedding_centroids,
+        "supplier_customer_degrees": _q_supplier_customer_degrees,
+        "events_lag_delta": _q_events_lag_delta,
         # non-SQL kernels (rows-only here; allclose/exact gates in pytest)
         "pagerank_top20": _q_pagerank_top20,
         "ppr_top20": _q_ppr_top20,
@@ -531,6 +561,21 @@ FROM (
                                ORDER BY cos DESC, vec_id) AS rank
   FROM s
 ) WHERE rank <= 5""",
+        "supplier_customer_degrees": """
+WITH e AS (
+  SELECT DISTINCT CAST(l.l_suppkey AS BIGINT) AS src,
+         CAST(o.o_custkey + 1000000 AS BIGINT) AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+deg AS (SELECT src, count(*) AS n_customers FROM e GROUP BY src)
+SELECT n_customers, count(*) AS n_suppliers FROM deg GROUP BY n_customers""",
+        "events_lag_delta": """
+SELECT user_id, event_id, round(value - prev_value, 6) AS value_delta
+FROM (
+  SELECT user_id, event_id, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+  FROM events
+) WHERE prev_value IS NOT NULL""",
         "embedding_centroids": """
 SELECT label, CAST(u.i - 1 AS INTEGER) AS pos,
        round(CAST(sum(CAST(CAST(embedding[u.i] AS DOUBLE) AS DECIMAL(18,9)))
