@@ -41,6 +41,8 @@ PPR_SUPERSTEPS = int(os.environ.get("BENCH_PPR_SUPERSTEPS", "15"))
 PR_ITERS = int(os.environ.get("BENCH_PR_ITERS", "15"))
 N_UPDATE_BATCHES = int(os.environ.get("BENCH_UPDATE_BATCHES", "3"))
 UPDATES_PER_BATCH = int(os.environ.get("BENCH_UPDATES_PER_BATCH", "200"))
+# supersteps composed into one Spark job while state is small (superstep.py)
+STEPS_PER_JOB = int(os.environ.get("BENCH_STEPS_PER_JOB", "5"))
 
 
 def _update_batches(spark, vmax: int, seed: int = 42):
@@ -99,7 +101,7 @@ def main() -> None:
 
     # -------- K3 PageRank: fixed supersteps -> supersteps/sec
     with timed("q_pagerank"):
-        pagerank(g, tol=0.0, max_iter=PR_ITERS)
+        pagerank(g, tol=0.0, max_iter=PR_ITERS, steps_per_job=STEPS_PER_JOB)
     extras["pagerank_supersteps_per_sec"] = round(
         PR_ITERS / timings["q_pagerank"], 4
     )
@@ -115,7 +117,10 @@ def main() -> None:
         ).limit(n_sources).collect()
     ]
     with timed("q_ppr_static"):
-        eng = PPREngine(g, top, eps=0.0, max_supersteps=PPR_SUPERSTEPS)
+        eng = PPREngine(
+            g, top, eps=0.0, max_supersteps=PPR_SUPERSTEPS,
+            steps_per_job=STEPS_PER_JOB,
+        )
         eng.push_to_convergence()
     extras["ppr_supersteps_per_sec"] = round(
         eng.metrics.supersteps / timings["q_ppr_static"], 4
@@ -123,7 +128,7 @@ def main() -> None:
     extras["ppr_n_sources"] = n_sources
 
     # -------- K2 dynamic updates -> edge-updates-applied/sec
-    eng2 = PPREngine(g, [1], eps=1e-3)
+    eng2 = PPREngine(g, [1], eps=1e-3, steps_per_job=STEPS_PER_JOB)
     eng2.push_to_convergence()
     batches = _update_batches(spark, extras["n_vertices"])
     with timed("q_ppr_updates"):

@@ -4,22 +4,49 @@ The reference (guowentian/dynamicppr; checkout absent, SURVEY.md §0) keeps a
 directed graph as an in-memory CSR over dense int vertex ids. Spark-native
 mapping (SURVEY.md §1.2):
 
-  - edge table  ``edges(src:bigint, dst:bigint)`` hash-partitioned on src
-    (BASELINE.json north_star: "explicit hash-partitioning on src"),
-  - degree table ``out_degrees(src, outdeg)``  (SURVEY.md §2 E7),
+  - edge table  ``edges(src:bigint, dst:bigint[, w:double])`` hash-partitioned
+    on src (BASELINE.json north_star: "explicit hash-partitioning on src"),
+  - degree table ``out_degrees(src, outdeg, wout)``  (SURVEY.md §2 E7);
+    ``wout`` is the out-weight sum (== outdeg for unweighted graphs) — the
+    push/teleport denominator for both weighted and unweighted kernels,
   - per-partition CSR blocks
     ``csr_blocks(part, srcs:array, indptr:array, dsts:array)`` built with a
     grouped-map pandas UDF (SURVEY.md §2 E8) and iterated by the pandas/Arrow
     gather-scatter fast path in operators/.
 
+Dynamic updates — persisted base + tiny delta overlay (round-2 redesign)
+------------------------------------------------------------------------
+``with_updates`` never copies or re-shuffles the O(E) edge mass. The edge
+set is represented as::
+
+    edges = (base \\ minus) ∪ plus
+
+where ``base`` is the persisted, src-partitioned bulk and ``minus``/``plus``
+are tiny eagerly-localCheckpoint'ed delta tables that grow by at most
+|batch| rows per batch (algebra: for a batch with pair-set P and inserts I,
+``minus' = minus ∪ P`` and ``plus' = (plus \\ P) ∪ I`` — both O(|batch|)
+operations; base rows touched by P are suppressed by minus', inserts live
+only in plus', so the composition stays an exact duplicate-free set).
+Derived tables are patched the same way: degrees/scatter keep their
+persisted base plus a (dirty-src anti-join + override) overlay. The vertex
+universe only ever grows (``old.vertices ∪ new endpoints``) so explicit or
+isolated-by-deletion vertices are preserved across updates. When the
+accumulated deltas exceed ``compact_threshold_rows`` the graph compacts
+back into a fresh persisted base (one full shuffle, amortized over many
+batches).
+
 Scale notes (100 TB / 1e9-edge design intent):
   - Everything is a DataFrame; no driver-side materialization of vertices or
     edges, only scalar aggregates cross to the driver.
-  - ``num_partitions`` controls both the shuffle width and the CSR block
-    count; at cluster scale set it to a small multiple of executor cores.
-  - The scatter table (src, dst, inv_outdeg) is persisted pre-partitioned on
-    src so the per-superstep frontier join never re-shuffles the (huge) edge
-    side — only the (small) frontier and the contribution reduce shuffle.
+  - Per update batch the only O(E) work is in-memory scans of the persisted
+    base with broadcast-hash probes (no shuffle, no copy); shuffles touch
+    only O(|batch|) rows. A full-edge shuffle happens only at compaction.
+  - The scatter table (src, dst, inv_outdeg) base is persisted
+    pre-partitioned on src so the per-superstep frontier join never
+    re-shuffles the (huge) edge side — only the (small) frontier and the
+    contribution reduce shuffle.
+  - localCheckpoint blocks created for deltas are tracked (rddtrack) and
+    freed by ``release()`` — long update streams stay bounded in storage.
 """
 
 from __future__ import annotations
@@ -28,6 +55,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
+
+from dynamicppr_spark.rddtrack import track_new_rdds, unpersist_rdd_ids
 
 CSR_SCHEMA = (
     "part int, vmin bigint, vmax bigint, "
@@ -64,14 +93,19 @@ class LinkGraph:
 
     Parameters
     ----------
-    edges : DataFrame with columns (src: bigint, dst: bigint). Extra columns
-        are dropped. Duplicate edges and self-loops are removed (the
-        reference models a simple directed graph).
+    edges : DataFrame with columns (src: bigint, dst: bigint[, w: double]).
+        Extra columns are dropped. Duplicate edges and self-loops are
+        removed (the reference models a simple directed graph); for
+        weighted graphs duplicate (src, dst) rows have their weights summed.
+        Weights must be positive for the PPR/PageRank kernels.
     vertices : optional DataFrame (vid: bigint) defining the vertex universe
         (to include isolated vertices); defaults to endpoints of ``edges``.
     num_partitions : hash-partition width for edges/state; defaults to the
         session's shuffle partition count.
+    weighted : force weighted/unweighted; default = ``"w" in edges.columns``.
     """
+
+    compact_threshold_rows: int = 100_000
 
     def __init__(
         self,
@@ -80,94 +114,186 @@ class LinkGraph:
         num_partitions: int | None = None,
         persist: bool = True,
         assume_normalized: bool = False,
+        weighted: bool | None = None,
     ) -> None:
         """``assume_normalized=True`` skips the dedup/self-loop/repartition
-        pass — for internal callers (with_updates) that guarantee the edge
-        set is already a clean simple digraph; avoids re-shuffling the full
-        edge table on every small update batch."""
+        pass — for internal callers (compaction) that guarantee the edge
+        set is already a clean simple digraph."""
         spark = edges.sparkSession
         self.spark = spark
         self.num_partitions = int(
             num_partitions
             or spark.conf.get("spark.sql.shuffle.partitions", "32")
         )
+        self.weighted = ("w" in edges.columns) if weighted is None else weighted
+        self._persist = persist
+        self._owned_caches: list[DataFrame] = []
+        self._own_rdds: set[int] = set()
+        self._chain_rdds: set[int] = set()
+
         if assume_normalized:
-            e = edges
+            base = edges
         else:
-            e = (
-                edges.select(
-                    F.col("src").cast("bigint").alias("src"),
-                    F.col("dst").cast("bigint").alias("dst"),
+            cols = [
+                F.col("src").cast("bigint").alias("src"),
+                F.col("dst").cast("bigint").alias("dst"),
+            ]
+            e = edges.select(
+                *cols,
+                *([F.col("w").cast("double").alias("w")] if self.weighted else []),
+            ).filter(F.col("src") != F.col("dst"))
+            if self.weighted:
+                e = (
+                    e.groupBy("src", "dst")
+                    .agg(F.sum("w").alias("w"))
+                    .filter(F.col("w") != 0.0)
                 )
-                .filter(F.col("src") != F.col("dst"))
-                .dropDuplicates(["src", "dst"])
-                .repartition(self.num_partitions, "src")
-            )
-        self.edges = e
-        if persist and not assume_normalized:
-            self.edges = e.persist(StorageLevel.MEMORY_AND_DISK)
+            else:
+                e = e.dropDuplicates(["src", "dst"])
+            base = e.repartition(self.num_partitions, "src")
+        if persist:
+            base = base.persist(StorageLevel.MEMORY_AND_DISK)
+            self._owned_caches.append(base)
+        self._base_edges = base
+        # delta overlay (None on a fresh/compacted graph)
+        self._minus: DataFrame | None = None
+        self._plus: DataFrame | None = None
+        self._delta_rows = 0
+
         if vertices is not None:
             v = vertices.select(F.col("vid").cast("bigint").alias("vid"))
         else:
             v = (
-                self.edges.select(F.col("src").alias("vid"))
-                .unionByName(self.edges.select(F.col("dst").alias("vid")))
+                base.select(F.col("src").alias("vid"))
+                .unionByName(base.select(F.col("dst").alias("vid")))
                 .distinct()
             )
-        self.vertices = v.repartition(self.num_partitions, "vid")
+        v = v.repartition(self.num_partitions, "vid")
         if persist:
-            self.vertices = self.vertices.persist(StorageLevel.MEMORY_AND_DISK)
-        self._persist = persist
+            v = v.persist(StorageLevel.MEMORY_AND_DISK)
+            self._owned_caches.append(v)
+        self._vertices = v
+
         self._num_vertices: int | None = None
-        self._out_degrees: DataFrame | None = None
-        self._scatter: DataFrame | None = None
+        # derived-table overlays: (base_df, dirty_src_df|None, override_df|None)
+        self._deg: tuple[DataFrame, DataFrame | None, DataFrame | None] | None = None
+        self._scat: tuple[DataFrame, DataFrame | None, DataFrame | None] | None = None
         self._csr: DataFrame | None = None
         self._sym: "LinkGraph | None" = None
+        # True/False once known; None = not yet computed. Updates keep it
+        # incrementally maintained (conservatively True-sticky).
+        self._dangling_known: bool | None = None
+
+    # ------------------------------------------------------------- composed
+    @property
+    def edges(self) -> DataFrame:
+        """(src, dst[, w]) — the current edge set: (base \\ minus) ∪ plus."""
+        e = self._base_edges
+        if self._minus is not None:
+            e = e.join(F.broadcast(self._minus), ["src", "dst"], "left_anti")
+        if self._plus is not None:
+            e = e.unionByName(self._plus)
+        return e
+
+    @property
+    def vertices(self) -> DataFrame:
+        return self._vertices
+
+    def _edge_w(self, df: DataFrame):
+        """Per-edge weight column (lit 1.0 for unweighted graphs)."""
+        return F.col("w") if self.weighted else F.lit(1.0)
+
+    def _ckpt(self, df: DataFrame, chain: bool = False) -> DataFrame:
+        """Eagerly localCheckpoint a (tiny) delta frame, tracking its blocks
+        so release() can free them. No-op when persist=False."""
+        if not self._persist:
+            return df
+        with track_new_rdds(self.spark.sparkContext) as created:
+            out = df.localCheckpoint(eager=True)
+        (self._chain_rdds if chain else self._own_rdds).update(created.ids)
+        return out
 
     # ---------------------------------------------------------------- stats
     @property
     def num_vertices(self) -> int:
         if self._num_vertices is None:
-            self._num_vertices = self.vertices.count()
+            self._num_vertices = self._vertices.count()
         return self._num_vertices
 
     @property
     def out_degrees(self) -> DataFrame:
-        """(src, outdeg) — SURVEY.md §2 E7; push denominator."""
-        if self._out_degrees is None:
-            d = self.edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-            d = d.repartition(self.num_partitions, "src")
-            self._out_degrees = (
-                d.persist(StorageLevel.MEMORY_AND_DISK) if self._persist else d
+        """(src, outdeg, wout) — SURVEY.md §2 E7; push denominators.
+
+        ``outdeg`` is the out-edge count; ``wout`` the out-weight sum used
+        by the kernels (== outdeg cast to double when unweighted).
+        """
+        if self._deg is None:
+            d = (
+                self.edges.groupBy("src")
+                .agg(
+                    F.count("*").alias("outdeg"),
+                    F.sum(self._edge_w(self.edges)).cast("double").alias("wout"),
+                )
+                .repartition(self.num_partitions, "src")
             )
-        return self._out_degrees
+            if self._persist:
+                d = d.persist(StorageLevel.MEMORY_AND_DISK)
+                self._owned_caches.append(d)
+            self._deg = (d, None, None)
+        base, dirty, override = self._deg
+        if dirty is None:
+            return base
+        out = base.join(F.broadcast(dirty), "src", "left_anti")
+        if override is not None:
+            out = out.unionByName(override)
+        return out
 
     @property
     def scatter_edges(self) -> DataFrame:
         """(src, dst, inv_outdeg) pre-partitioned on src and persisted.
 
-        This is the hot-loop edge side for the DataFrame scatter path of
-        PageRank/PPR: persisting it partitioned on src means the
-        per-superstep join against the (vid-partitioned) state inserts no
+        ``inv_outdeg`` = w / wout (1/outdeg unweighted) — the push fraction
+        along the edge. This is the hot-loop edge side for the DataFrame
+        scatter path of PageRank/PPR: persisting the base partitioned on
+        src means the per-superstep join against the state inserts no
         exchange on the edge side — only the small frontier and the
-        groupBy(dst) reduction shuffle.
+        groupBy(dst) reduction shuffle. After updates the composition adds
+        only a broadcast-hash probe per scan (no copy, no shuffle).
         """
-        if self._scatter is None:
+        if self._scat is None:
             s = (
                 self.edges.join(self.out_degrees, "src")
                 .select(
                     "src",
                     "dst",
-                    (F.lit(1.0) / F.col("outdeg").cast("double")).alias(
-                        "inv_outdeg"
-                    ),
+                    (self._edge_w(self.edges) / F.col("wout")).alias("inv_outdeg"),
                 )
                 .repartition(self.num_partitions, "src")
             )
-            self._scatter = (
-                s.persist(StorageLevel.MEMORY_AND_DISK) if self._persist else s
+            if self._persist:
+                s = s.persist(StorageLevel.MEMORY_AND_DISK)
+                self._owned_caches.append(s)
+            self._scat = (s, None, None)
+        base, dirty, override = self._scat
+        if dirty is None:
+            return base
+        out = base.join(F.broadcast(dirty), "src", "left_anti")
+        if override is not None:
+            out = out.unionByName(override)
+        return out
+
+    def maybe_has_dangling_vertex(self) -> bool:
+        """True if some vertex in the universe may lack out-edges.
+
+        Computed once (O(V) anti-join), then maintained incrementally by
+        ``with_updates`` (True is sticky-conservative — safe: it only keeps
+        the dangling branch alive in the push kernels)."""
+        if self._dangling_known is None:
+            outv = self.out_degrees.select(F.col("src").alias("vid"))
+            self._dangling_known = (
+                self._vertices.join(outv, "vid", "left_anti").limit(1).count() > 0
             )
-        return self._scatter
+        return self._dangling_known
 
     # ------------------------------------------------------------ CSR blocks
     def csr_blocks(self) -> DataFrame:
@@ -177,7 +303,13 @@ class LinkGraph:
         One row per hash-partition ``part = pmod(src, P)``:
         (part, vmin, vmax, srcs, indptr, dsts). Iterated via numpy
         gather-scatter inside ``applyInPandas`` by the kernel fast path.
+        Unweighted only (the CSR fast path divides by neighbor count).
         """
+        if self.weighted:
+            raise ValueError(
+                "CSR gather-scatter mode does not support weighted graphs; "
+                "use the DataFrame scatter path (mode='df')"
+            )
         if self._csr is None:
             withpart = self.edges.withColumn(
                 "part", F.pmod(F.col("src"), F.lit(self.num_partitions)).cast("int")
@@ -185,117 +317,203 @@ class LinkGraph:
             blocks = withpart.groupBy("part").applyInPandas(
                 _build_csr_block, schema=CSR_SCHEMA
             )
-            self._csr = (
-                blocks.persist(StorageLevel.MEMORY_AND_DISK)
-                if self._persist
-                else blocks
-            )
+            if self._persist:
+                blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
+                self._owned_caches.append(blocks)
+            self._csr = blocks
         return self._csr
 
     # ------------------------------------------------------------- variants
     def symmetrized(self) -> "LinkGraph":
         """Undirected view: edges ∪ reversed edges (for CC/LPA/triangles)."""
         if self._sym is None:
-            rev = self.edges.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
+            e = self.edges
+            rev = e.select(
+                F.col("dst").alias("src"),
+                F.col("src").alias("dst"),
+                *([F.col("w")] if self.weighted else []),
             )
             self._sym = LinkGraph(
-                self.edges.unionByName(rev),
-                vertices=self.vertices,
+                e.unionByName(rev),
+                vertices=self._vertices,
                 num_partitions=self.num_partitions,
                 persist=self._persist,
+                weighted=self.weighted,
             )
         return self._sym
 
     # -------------------------------------------------------- dynamic (E9)
-    def with_updates(self, batch: DataFrame) -> "LinkGraph":
+    def with_updates(
+        self, batch: DataFrame, batch_rows: int | None = None
+    ) -> "LinkGraph":
         """Apply one batch of edge updates, returning a new LinkGraph.
 
-        ``batch`` columns: (op: '+'/'-', src, dst). New edge set =
-        (old \\ deletes) ∪ inserts (SURVEY.md §2 E9).
+        ``batch`` columns: (op: '+'/'-', src, dst[, w]). New edge set =
+        (old \\ batch pairs) ∪ inserts (SURVEY.md §2 E9) — a '-' deletes
+        the pair, a '+' (re)inserts it (with weight ``w`` if weighted).
 
-        FULLY INCREMENTAL — no full-edge-table shuffle per batch:
-          - edges: ONE broadcast anti-join of the old edges against the
-            (tiny) batch pair set, then union of the cleaned inserts;
-            the result is already a clean simple digraph
-            (assume_normalized), eagerly localCheckpoint'ed to truncate
-            the per-batch lineage chain.
-          - out_degrees / scatter table: rows for untouched src reused via
-            broadcast anti-join; only touched-src rows recomputed (a
-            filter + small groupBy, no shuffle of the untouched mass).
-          - CSR blocks: only hash partitions containing a touched src are
-            rebuilt (broadcast semi-join on part).
+        FULLY INCREMENTAL — no O(E) shuffle or copy per batch (module
+        docstring): only the tiny minus/plus deltas, the vertex-universe
+        increment, and the touched-src degree/scatter overrides are
+        computed and localCheckpoint'ed; the persisted base is reused
+        untouched. Auto-compacts once accumulated deltas exceed
+        ``compact_threshold_rows``.
         """
         p = self.num_partitions
+        wsel = [F.coalesce(F.col("w"), F.lit(1.0)).cast("double").alias("w")] if (
+            self.weighted
+        ) else []
+        if self.weighted and "w" not in batch.columns:
+            batch = batch.withColumn("w", F.lit(1.0))
         ins = (
             batch.filter(F.col("op") == "+")
             .select(
                 F.col("src").cast("bigint").alias("src"),
                 F.col("dst").cast("bigint").alias("dst"),
+                *wsel,
             )
             .filter(F.col("src") != F.col("dst"))
             .dropDuplicates(["src", "dst"])
         )
-        batch_pairs = batch.select(
+        pairs = batch.select(
             F.col("src").cast("bigint").alias("src"),
             F.col("dst").cast("bigint").alias("dst"),
         ).dropDuplicates(["src", "dst"])
-        # (old \ (dels ∪ ins)) ∪ ins  ==  (old \ dels) ∪ ins
-        new_edges = self.edges.join(
-            F.broadcast(batch_pairs), ["src", "dst"], "left_anti"
-        ).unionByName(ins)
-        if self._persist:
-            new_edges = new_edges.localCheckpoint(eager=True)
-        new_graph = LinkGraph(
-            new_edges,
-            num_partitions=p,
-            persist=self._persist,
-            assume_normalized=True,
+
+        child = object.__new__(LinkGraph)
+        child.spark = self.spark
+        child.num_partitions = p
+        child.weighted = self.weighted
+        child._persist = self._persist
+        child._owned_caches = []
+        child._own_rdds = set()
+        child._chain_rdds = set(self._chain_rdds)
+        child._base_edges = self._base_edges
+        child._num_vertices = None
+        child._deg = None
+        child._scat = None
+        child._csr = None
+        child._sym = None
+        child._dangling_known = None
+        child.compact_threshold_rows = self.compact_threshold_rows
+
+        # --- edge deltas: minus' = minus ∪ P ; plus' = (plus \ P) ∪ I
+        new_minus = (
+            self._minus.unionByName(pairs).dropDuplicates(["src", "dst"])
+            if self._minus is not None
+            else pairs
         )
-        touched = batch.select(F.col("src").cast("bigint").alias("src")).distinct()
-        if self._out_degrees is not None:
-            recomputed = (
-                new_graph.edges.join(F.broadcast(touched), "src", "left_semi")
-                .groupBy("src")
-                .agg(F.count("*").alias("outdeg"))
+        child._minus = child._ckpt(new_minus)
+        plus_kept = (
+            self._plus.join(F.broadcast(pairs), ["src", "dst"], "left_anti")
+            if self._plus is not None
+            else None
+        )
+        new_plus = ins if plus_kept is None else plus_kept.unionByName(ins)
+        child._plus = child._ckpt(new_plus)
+        if batch_rows is None:
+            batch_rows = batch.count()
+        child._delta_rows = self._delta_rows + int(batch_rows)
+
+        # --- vertex universe: old ∪ new endpoints (never shrinks — explicit
+        # or isolated-by-deletion vertices are preserved; ADVICE.md item 1)
+        endpoints = (
+            pairs.select(F.col("src").alias("vid"))
+            .unionByName(pairs.select(F.col("dst").alias("vid")))
+            .distinct()
+        )
+        known = self._vertices.join(F.broadcast(endpoints), "vid", "left_semi")
+        new_vids = child._ckpt(endpoints.exceptAll(known), chain=True)
+        n_new = new_vids.count()
+        if n_new:
+            child._vertices = self._vertices.unionByName(new_vids)
+        else:
+            child._vertices = self._vertices
+        if self._num_vertices is not None:
+            child._num_vertices = self._num_vertices + n_new
+
+        touched = pairs.select("src").distinct()
+        recomputed = None
+        if self._deg is not None:
+            deg_base, deg_dirty, deg_override = self._deg
+            new_dirty = (
+                deg_dirty.unionByName(touched).dropDuplicates(["src"])
+                if deg_dirty is not None
+                else touched
             )
-            patched_deg = self._out_degrees.join(
-                F.broadcast(touched), "src", "left_anti"
-            ).unionByName(recomputed)
-            if self._persist:
-                patched_deg = patched_deg.localCheckpoint(eager=True)
-            new_graph._out_degrees = patched_deg
-            if self._scatter is not None:
+            new_dirty = child._ckpt(new_dirty)
+            recomputed = (
+                child.edges.join(F.broadcast(touched), "src", "left_semi")
+                .groupBy("src")
+                .agg(
+                    F.count("*").alias("outdeg"),
+                    F.sum(child._edge_w(child.edges)).cast("double").alias("wout"),
+                )
+            )
+            kept = (
+                deg_override.join(F.broadcast(touched), "src", "left_anti")
+                if deg_override is not None
+                else None
+            )
+            new_override = (
+                recomputed if kept is None else kept.unionByName(recomputed)
+            )
+            new_override = child._ckpt(new_override)
+            child._deg = (deg_base, new_dirty, new_override)
+            recomputed = new_override.join(F.broadcast(touched), "src", "left_semi")
+
+            if self._scat is not None:
+                s_base, s_dirty, s_override = self._scat
                 touched_scatter = (
-                    new_graph.edges.join(F.broadcast(touched), "src", "left_semi")
+                    child.edges.join(F.broadcast(touched), "src", "left_semi")
                     .join(recomputed, "src")
                     .select(
                         "src",
                         "dst",
-                        (F.lit(1.0) / F.col("outdeg").cast("double")).alias(
+                        (child._edge_w(child.edges) / F.col("wout")).alias(
                             "inv_outdeg"
                         ),
                     )
                 )
-                patched_scatter = self._scatter.join(
-                    F.broadcast(touched), "src", "left_anti"
-                ).unionByName(touched_scatter)
-                if self._persist:
-                    patched_scatter = patched_scatter.localCheckpoint(eager=True)
-                new_graph._scatter = patched_scatter
-        if self._csr is not None:
-            p = self.num_partitions
-            touched_parts = (
-                batch.select(
-                    F.pmod(F.col("src"), F.lit(p)).cast("int").alias("part")
+                s_kept = (
+                    s_override.join(F.broadcast(touched), "src", "left_anti")
+                    if s_override is not None
+                    else None
                 )
-                .distinct()
+                new_s_override = (
+                    touched_scatter
+                    if s_kept is None
+                    else s_kept.unionByName(touched_scatter)
+                )
+                new_s_override = child._ckpt(new_s_override)
+                child._scat = (s_base, new_dirty, new_s_override)
+
+        # --- dangling flag maintenance (cheap, batch-sized checks)
+        if self._dangling_known is True:
+            child._dangling_known = True  # sticky-conservative (always safe)
+        elif self._dangling_known is False and recomputed is not None:
+            lost_all = touched.join(
+                recomputed.select("src"), "src", "left_anti"
+            ).select(F.col("src").alias("vid"))
+            new_dang = new_vids.join(
+                ins.select(F.col("src").alias("vid")).distinct(),
+                "vid",
+                "left_anti",
             )
+            child._dangling_known = (
+                lost_all.unionByName(new_dang).limit(1).count() > 0
+            )
+
+        # --- CSR blocks: rebuild only touched hash partitions
+        if self._csr is not None:
+            touched_parts = pairs.select(
+                F.pmod(F.col("src"), F.lit(p)).cast("int").alias("part")
+            ).distinct()
             untouched = self._csr.join(
                 F.broadcast(touched_parts), "part", "left_anti"
             )
             rebuilt = (
-                new_graph.edges.withColumn(
+                child.edges.withColumn(
                     "part", F.pmod(F.col("src"), F.lit(p)).cast("int")
                 )
                 .join(F.broadcast(touched_parts), "part", "left_semi")
@@ -303,23 +521,71 @@ class LinkGraph:
                 .applyInPandas(_build_csr_block, schema=CSR_SCHEMA)
             )
             patched = untouched.unionByName(rebuilt)
-            new_graph._csr = (
-                patched.persist(StorageLevel.MEMORY_AND_DISK)
-                if self._persist
-                else patched
-            )
-        return new_graph
+            if child._persist:
+                patched = patched.persist(StorageLevel.MEMORY_AND_DISK)
+                child._owned_caches.append(patched)
+            child._csr = patched
 
-    def unpersist(self) -> None:
-        for df in (
+        if child._delta_rows >= child.compact_threshold_rows:
+            compacted = child.compact()
+            if compacted is not child:
+                child.release(keep=compacted)
+            return compacted
+        return child
+
+    def compact(self) -> "LinkGraph":
+        """Fold the delta overlay back into a fresh persisted base (one full
+        shuffle). Returns self when there is nothing to fold."""
+        if self._minus is None and self._plus is None:
+            return self
+        g = LinkGraph(
             self.edges,
-            self.vertices,
-            self._out_degrees,
-            self._scatter,
-            self._csr,
-        ):
-            if df is not None:
+            vertices=self._vertices,
+            num_partitions=self.num_partitions,
+            persist=self._persist,
+            weighted=self.weighted,
+        )
+        g._base_edges.count()  # materialize before callers release self
+        g._num_vertices = self._num_vertices
+        g._dangling_known = self._dangling_known
+        g.compact_threshold_rows = self.compact_threshold_rows
+        return g
+
+    # ------------------------------------------------------------- cleanup
+    def _referenced_caches(self) -> list[DataFrame]:
+        out = [self._base_edges, self._vertices]
+        for t in (self._deg, self._scat):
+            if t is not None:
+                out.append(t[0])
+        if self._csr is not None:
+            out.append(self._csr)
+        return out
+
+    def release(self, keep: "LinkGraph | None" = None) -> None:
+        """Unpersist this graph's owned caches and free its tracked
+        localCheckpoint blocks, except anything still referenced by
+        ``keep`` (typically the successor graph after ``with_updates``)."""
+        keep_caches = (
+            {id(df) for df in keep._referenced_caches()} if keep is not None else set()
+        )
+        for df in self._owned_caches:
+            if id(df) not in keep_caches:
                 try:
                     df.unpersist()
-                except Exception:
+                except Exception:  # noqa: BLE001
                     pass
+        self._owned_caches = []
+        keep_chain = keep._chain_rdds if keep is not None else set()
+        unpersist_rdd_ids(
+            self.spark.sparkContext,
+            self._own_rdds | (self._chain_rdds - keep_chain),
+        )
+        self._own_rdds = set()
+        self._chain_rdds = set()
+        if self._sym is not None:
+            self._sym.release(keep=keep._sym if keep is not None else None)
+            self._sym = None
+
+    def unpersist(self) -> None:
+        """Back-compat alias: release everything owned by this graph."""
+        self.release(None)

@@ -33,34 +33,61 @@ def pagerank(
     ckpt_dir: str | None = None,
     ckpt_every: int = 8,
     return_result: bool = False,
+    steps_per_job: int = 1,
+    init_scores: DataFrame | None = None,
 ) -> DataFrame | SuperstepResult:
-    """PageRank scores as DataFrame (vid: bigint, score: double)."""
+    """PageRank scores as DataFrame (vid: bigint, score: double).
+
+    ``steps_per_job > 1`` composes iterations into one Spark job each
+    (superstep.py docstring). Composition requires a dangling-free graph
+    (then the dangling mass is identically 0 and no per-step scalar
+    feedback exists — any scalar re-broadcast per step would serialize the
+    composed job into per-step broadcast jobs again); on graphs with
+    dangling vertices the loop falls back to one step per job.
+
+    ``init_scores`` (vid, score) warm-starts the power iteration — e.g.
+    the previous converged ranks after an edge-update batch. Power
+    iteration converges to the same fixpoint from any (normalized) start,
+    so a warm start is the incremental-maintenance path for K3: a small
+    graph delta leaves most scores near-converged and the loop exits in a
+    few iterations instead of O(log(1/tol)).
+    """
     n = graph.num_vertices
     scatter = graph.scatter_edges  # (src, dst, inv_outdeg), partitioned on src
     scatter.count()  # pre-materialize: checkpoint rotation must not capture it
+    if steps_per_job > 1 and graph.maybe_has_dangling_vertex():
+        steps_per_job = 1  # per-step dangling-mass feedback forbids composing
 
     outdeg_vids = graph.out_degrees.select(F.col("src").alias("vid"))
+    if init_scores is not None:
+        init = graph.vertices.join(
+            init_scores.select("vid", F.col("score").alias("s0")), "vid", "left"
+        ).select("vid", F.coalesce("s0", F.lit(1.0 / n)).alias("s0"))
+    else:
+        init = graph.vertices.select("vid", F.lit(1.0 / n).alias("s0"))
     ranks0 = (
-        graph.vertices.join(
-            outdeg_vids.withColumn("dang", F.lit(False)), "vid", "left"
-        )
+        init.join(outdeg_vids.withColumn("dang", F.lit(False)), "vid", "left")
         .select(
             "vid",
-            F.lit(1.0 / n).alias("score"),
+            F.col("s0").alias("score"),
             F.lit(float("inf")).alias("delta"),
             F.coalesce("dang", F.lit(True)).alias("dang"),
         )
     )
     # dangling mass of the CURRENT state, observed during the previous
-    # iteration's job (or computed once for the initial state)
-    dm_box = {"dm": ranks0.filter("dang").count() * (1.0 / n)}
+    # iteration's job (or computed once for the initial state); stays 0.0
+    # forever on dangling-free graphs (the only composable case)
+    dm_box = {
+        "dm": float(
+            ranks0.filter("dang").agg(F.sum("score")).collect()[0][0] or 0.0
+        )
+    }
 
     def step(ranks: DataFrame, _i: int) -> DataFrame:
         # single-shuffle iteration: raw contributions and the carrier row
         # (old score + dang flag) union into ONE groupBy(vid) reduction —
         # no separate aggregate + merge-join stages (stage barriers are
         # serial driver time that caps scaling efficiency)
-        dm = dm_box["dm"]
         contribs = (
             ranks.select("vid", "score")
             .join(scatter, ranks.vid == scatter.src)
@@ -77,8 +104,7 @@ def pagerank(
             F.col("score").alias("old_score"),
             "dang",
         )
-        base = alpha / n + (1.0 - alpha) * dm / n
-        new = (
+        agged = (
             carrier.unionByName(contribs)
             .groupBy("vid")
             .agg(
@@ -86,9 +112,13 @@ def pagerank(
                 F.max("old_score").alias("old_score"),
                 F.max("dang").alias("dang"),
             )
-            .select(
+        )
+        dm = dm_box["dm"]
+        base_col = F.lit(alpha / n + (1.0 - alpha) * dm / n)
+        new = (
+            agged.select(
                 "vid",
-                (F.lit(base) + F.lit(1.0 - alpha) * F.col("c")).alias("score"),
+                (base_col + F.lit(1.0 - alpha) * F.col("c")).alias("score"),
                 F.col("old_score"),
                 "dang",
             )
@@ -128,6 +158,7 @@ def pagerank(
             "num_partitions": graph.num_partitions,
         },
         on_metrics=on_metrics,
+        steps_per_job=steps_per_job,
     )
     if return_result:
         result.state = result.state.select("vid", "score")

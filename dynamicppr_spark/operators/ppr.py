@@ -51,6 +51,7 @@ from pyspark.sql import DataFrame, Observation, Window, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from dynamicppr_spark.graph import LinkGraph
+from dynamicppr_spark.rddtrack import track_new_rdds, unpersist_rdd_ids
 
 STATE_SCHEMA = "source bigint, vid bigint, residual double, reserve double"
 
@@ -85,11 +86,20 @@ class PPREngine:
         ckpt_every: int = 10,
         max_supersteps: int = 2000,
         mode: str = "df",
+        steps_per_job: int = 1,
     ) -> None:
         """``mode``: 'df' = DataFrame scatter join (pure JVM/codegen);
         'csr' = per-partition CSR-block gather-scatter via pandas/Arrow UDF
-        (operators/csr_kernel.py). Both implement identical semantics."""
+        (operators/csr_kernel.py). Both implement identical semantics.
+
+        ``steps_per_job > 1`` composes that many supersteps into one Spark
+        job (lazily chained plans, one checkpoint/observe at the end) while
+        the state is small — amortizing the serial per-job floor.
+        Convergence is then checked at block granularity; extra pushes past
+        eps only tighten the result (push is monotone in ||r||_1), so
+        scores stay within the same eps envelope."""
         self.graph = graph
+        self._user_graph = graph  # never released by apply_updates
         self.spark = graph.spark
         self.sources = [int(s) for s in sources]
         self.alpha = float(alpha)
@@ -98,6 +108,9 @@ class PPREngine:
         self.ckpt_dir = ckpt_dir
         self.ckpt_every = ckpt_every
         self.max_supersteps = max_supersteps
+        self.steps_per_job = max(1, int(steps_per_job))
+        # stop composing once the state outgrows this (plan fan-out cost)
+        self.compose_max_rows = 2_000_000
         self.metrics = PPRMetrics()
         self.state: DataFrame = self.spark.createDataFrame(
             [(s, s, 1.0, 0.0) for s in self.sources], schema=STATE_SCHEMA
@@ -105,14 +118,33 @@ class PPREngine:
         self._converged = False
         self._dangling_possible = True
         self._per_source_freeze = True
-        # broadcast the frontier into the scatter join while the state is
-        # small (rows tracked via the superstep observation)
-        self.broadcast_max_rows = 4_000_000
+        # Broadcast the frontier into the scatter join while the state is
+        # small (rows tracked via the superstep observation). The threshold
+        # is byte-derived (~40 B per (source,vid,residual,reserve) row);
+        # on a real cluster size it to executor memory / the configured
+        # autoBroadcastJoinThreshold — the shuffled-join fallback below
+        # keeps correctness either way.
+        self.broadcast_max_bytes = 128 << 20
+        self.broadcast_max_rows = self.broadcast_max_bytes // 40
         self._broadcast_frontier = True
 
     # ------------------------------------------------------------ push loop
-    def _push_superstep(self, state: DataFrame, live_sources: list[int]) -> DataFrame:
-        """One synchronous superstep for the given sources; others frozen."""
+    def _push_superstep(
+        self,
+        state: DataFrame,
+        live_sources: list[int],
+        broadcast_frontier: bool | None = None,
+    ) -> DataFrame:
+        """One synchronous superstep for the given sources; others frozen.
+
+        ``broadcast_frontier=False`` is used inside composed multi-step
+        jobs: a broadcast of an intermediate state would trigger one
+        sequential broadcast job per sub-step, re-serializing the composed
+        block. The state and the persisted scatter/degree tables are all
+        hash-partitioned on the join key with the same width, so the
+        shuffled join moves only the (small) frontier anyway."""
+        if broadcast_frontier is None:
+            broadcast_frontier = self._broadcast_frontier
         alpha = self.alpha
         if len(live_sources) == len(self.sources):
             live, frozen = state, None  # common case: no frozen branch
@@ -143,7 +175,7 @@ class PPREngine:
             ).withColumnRenamed("dr", "residual")
         else:
             scatter = self.graph.scatter_edges  # (src,dst,inv_outdeg) on src
-            if self._broadcast_frontier:
+            if broadcast_frontier:
                 # forward-push frontiers are small by construction: ship the
                 # frontier to the (persisted, partitioned) scatter table and
                 # probe in place — zero shuffle/sort of the edge side per
@@ -220,19 +252,24 @@ class PPREngine:
         return {"l1_all": F.sum(F.abs(F.col("residual")))}
 
     def _check_dangling_possible(self, state: DataFrame) -> bool:
-        """True unless no residual can ever land on an outdeg-0 vertex:
-        both the graph's vertices and the current state's vids must all
-        have out-edges. Checked once per push run (not per superstep)."""
-        outv = self.graph.out_degrees.select(F.col("src").alias("vid"))
-        if (
-            self.graph.vertices.join(outv, "vid", "left_anti").limit(1).count()
-            > 0
-        ):
+        """True unless no residual can ever land on an outdeg-0 vertex.
+
+        Residual mass only ever sits on (a) the injected sources and (b)
+        push targets, which are edge endpoints and hence in the vertex
+        universe. So if no universe vertex is dangling (a cached,
+        incrementally-maintained graph flag — O(V) computed once, O(batch)
+        per update), only the sources themselves can still be dangling
+        (they may lie outside the universe) — a tiny broadcast-semi scan
+        of the persisted degree table, not an O(state) join per call."""
+        if self.graph.maybe_has_dangling_vertex():
             return True
-        return (
-            state.select("vid").join(outv, "vid", "left_anti").limit(1).count()
-            > 0
+        uniq = sorted(set(self.sources))
+        src_df = self.spark.createDataFrame([(s,) for s in uniq], "src bigint")
+        with_out = (
+            self.graph.out_degrees.join(F.broadcast(src_df), "src", "left_semi")
+            .count()
         )
+        return with_out < len(uniq)
 
     def push_to_convergence(self) -> PPRMetrics:
         """Run synchronous supersteps until every source has ||r||_1 <= eps."""
@@ -262,18 +299,44 @@ class PPREngine:
         l1 = self._per_source_l1(state)
         live = [s for s in self.sources if l1[s] > self.eps]
         steps = 0
+        state_rows = len(self.sources)
+        last_durable = 0
         while live and steps < self.max_supersteps:
-            steps += 1
+            # compose k supersteps into ONE job while the state is small —
+            # the per-job serial floor (Catalyst+py4j+scheduling+barrier),
+            # not shuffle bytes, dominates small-state supersteps
+            k = (
+                self.steps_per_job
+                if state_rows <= self.compose_max_rows
+                else 1
+            )
+            k = max(1, min(k, self.max_supersteps - steps))
+            new_state = state
+            inter_ids: set[int] = set()
+            for j in range(k):
+                new_state = self._push_superstep(
+                    new_state,
+                    live,
+                    broadcast_frontier=self._broadcast_frontier if k == 1 else False,
+                )
+                if j < k - 1:
+                    # LAZY localCheckpoint: plan cut to a leaf per sub-step,
+                    # RDD DAG computes each intermediate once inside the
+                    # block's single job (rationale in superstep.py)
+                    with track_new_rdds(self.spark.sparkContext) as created:
+                        new_state = new_state.localCheckpoint(eager=False)
+                    inter_ids |= created.ids
+            steps += k
             obs = Observation()
             state = rotator.checkpoint(
-                self._push_superstep(state, live).observe(
-                    obs, *[c.alias(k) for k, c in obs_exprs.items()]
+                new_state.observe(
+                    obs, *[c.alias(kk) for kk, c in obs_exprs.items()]
                 )
             )
             got = obs.get
-            self._broadcast_frontier = (
-                int(got.get("state_rows") or 0) <= self.broadcast_max_rows
-            )
+            unpersist_rdd_ids(self.spark.sparkContext, inter_ids)
+            state_rows = int(got.get("state_rows") or 0)
+            self._broadcast_frontier = state_rows <= self.broadcast_max_rows
             if self._per_source_freeze:
                 l1 = {s: float(got[f"l1_{s}"] or 0.0) for s in self.sources}
             else:
@@ -283,14 +346,19 @@ class PPREngine:
             self.metrics.history.append(
                 {"superstep": base + steps, "max_l1": max(l1.values())}
             )
-            if steps % self.ckpt_every == 0 and self.ckpt_dir is not None:
+            if self.ckpt_dir is not None and steps - last_durable >= self.ckpt_every:
                 state = self._checkpoint(state, base + steps, l1)
+                last_durable = steps
         wall = time.time() - t0
         self.state = state
         self._converged = not live
         self.metrics.supersteps = base + steps
         self.metrics.wall_seconds += wall
-        if self.ckpt_dir is not None:
+        # final durable checkpoint — unless this exact iteration was already
+        # written inside the loop (overwriting it=N while the state plan
+        # still lazily READS it=N would delete the files out from under the
+        # scan)
+        if self.ckpt_dir is not None and steps != last_durable:
             self.state = self._checkpoint(self.state, base + steps, l1)
         return self.metrics
 
@@ -329,28 +397,47 @@ class PPREngine:
 
     # -------------------------------------------------------------- dynamic
     def apply_updates(self, batch: DataFrame) -> PPRMetrics:
-        """K2: apply one batch of (op,src,dst) edge updates and re-push."""
+        """K2: apply one batch of (op,src,dst[,w]) edge updates and re-push.
+
+        The update algebra (module docstring) generalizes to weighted
+        graphs with W_u = out-weight sum (``wout``) in place of the
+        out-degree and per-edge weight w in place of 1 — for unweighted
+        graphs wout is the exact integer-valued out-degree, so the floats
+        are bit-identical to the unweighted formulation."""
         t0 = time.time()
         wall_before = self.metrics.wall_seconds
         c = (1.0 - self.alpha) / self.alpha
-        old, new = self.graph, self.graph.with_updates(batch)
         n_updates = batch.count()
+        old, new = self.graph, self.graph.with_updates(batch, batch_rows=n_updates)
+        weighted = old.weighted
+        ew = F.col("w") if weighted else F.lit(1.0)  # per-edge weight
+        edge_key = ["src", "dst", "w"] if weighted else ["src", "dst"]
 
-        touched = batch.select("src").distinct().persist(StorageLevel.MEMORY_AND_DISK)
-        old_e = old.edges.join(touched, "src", "left_semi")
-        new_e = new.edges.join(touched, "src", "left_semi")
-        added = new_e.join(old_e, ["src", "dst"], "left_anti")
-        removed = old_e.join(new_e, ["src", "dst"], "left_anti")
+        touched = batch.select(
+            F.col("src").cast("bigint").alias("src")
+        ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+        old_e = old.edges.join(F.broadcast(touched), "src", "left_semi")
+        new_e = new.edges.join(F.broadcast(touched), "src", "left_semi")
+        # weight changes on an existing pair appear in BOTH added (w_new)
+        # and removed (w_old) — the two dr terms then sum to c*p*Δw/W
+        added = new_e.join(old_e, edge_key, "left_anti")
+        removed = old_e.join(new_e, edge_key, "left_anti")
 
         deg = (
             touched.join(
-                old.out_degrees.withColumnRenamed("outdeg", "d_old"), "src", "left"
+                old.out_degrees.select("src", F.col("wout").alias("d_old")),
+                "src",
+                "left",
             )
-            .join(new.out_degrees.withColumnRenamed("outdeg", "d_new"), "src", "left")
+            .join(
+                new.out_degrees.select("src", F.col("wout").alias("d_new")),
+                "src",
+                "left",
+            )
             .select(
                 "src",
-                F.coalesce("d_old", F.lit(0)).alias("d_old"),
-                F.coalesce("d_new", F.lit(0)).alias("d_new"),
+                F.coalesce("d_old", F.lit(0.0)).alias("d_old"),
+                F.coalesce("d_new", F.lit(0.0)).alias("d_new"),
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
@@ -364,17 +451,17 @@ class PPREngine:
             .join(deg, "src")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        normal = p_u.filter((F.col("d_old") > 0) & (F.col("d_new") > 0))
-        trans = p_u.filter((F.col("d_old") == 0) | (F.col("d_new") == 0))
+        normal = p_u.filter((F.col("d_old") > 0.0) & (F.col("d_new") > 0.0))
+        trans = p_u.filter((F.col("d_old") == 0.0) | (F.col("d_new") == 0.0))
 
-        # --- normal case: only changed edges, old-degree denominator
+        # --- normal case: only changed edges, old-out-weight denominator
         dr_added = added.join(normal, "src").select(
             "source", F.col("dst").alias("vid"),
-            (F.lit(c) * F.col("p") / F.col("d_old")).alias("dr"),
+            (F.lit(c) * F.col("p") * ew / F.col("d_old")).alias("dr"),
         )
         dr_removed = removed.join(normal, "src").select(
             "source", F.col("dst").alias("vid"),
-            (-F.lit(c) * F.col("p") / F.col("d_old")).alias("dr"),
+            (-F.lit(c) * F.col("p") * ew / F.col("d_old")).alias("dr"),
         )
         dr_self = normal.select(
             "source", F.col("src").alias("vid"),
@@ -384,18 +471,18 @@ class PPREngine:
             ).alias("dr"),
         )
         # --- dangling transitions: full recompute of u's contribution row
-        dr_t_old_edges = old_e.join(trans.filter(F.col("d_old") > 0), "src").select(
+        dr_t_old_edges = old_e.join(trans.filter(F.col("d_old") > 0.0), "src").select(
             "source", F.col("dst").alias("vid"),
-            (-F.lit(c) * F.col("p") / F.col("d_old")).alias("dr"),
+            (-F.lit(c) * F.col("p") * ew / F.col("d_old")).alias("dr"),
         )
-        dr_t_old_dang = trans.filter(F.col("d_old") == 0).select(
+        dr_t_old_dang = trans.filter(F.col("d_old") == 0.0).select(
             "source", F.col("src").alias("vid"), (-F.lit(c) * F.col("p")).alias("dr")
         )
-        dr_t_new_edges = new_e.join(trans.filter(F.col("d_new") > 0), "src").select(
+        dr_t_new_edges = new_e.join(trans.filter(F.col("d_new") > 0.0), "src").select(
             "source", F.col("dst").alias("vid"),
-            (F.lit(c) * F.col("p") / F.col("d_new")).alias("dr"),
+            (F.lit(c) * F.col("p") * ew / F.col("d_new")).alias("dr"),
         )
-        dr_t_new_dang = trans.filter(F.col("d_new") == 0).select(
+        dr_t_new_dang = trans.filter(F.col("d_new") == 0.0).select(
             "source", F.col("src").alias("vid"), (F.lit(c) * F.col("p")).alias("dr")
         )
         deltas = (
@@ -408,10 +495,10 @@ class PPREngine:
             .groupBy("source", "vid")
             .agg(F.sum("dr").alias("dr"))
         )
-        # --- reserve rescale for the normal case: pi'[u] = pi[u] * d'/d
-        scale = deg.filter((F.col("d_old") > 0) & (F.col("d_new") > 0)).select(
+        # --- reserve rescale for the normal case: pi'[u] = pi[u] * W'/W
+        scale = deg.filter((F.col("d_old") > 0.0) & (F.col("d_new") > 0.0)).select(
             F.col("src").alias("vid"),
-            (F.col("d_new").cast("double") / F.col("d_old")).alias("rscale"),
+            (F.col("d_new") / F.col("d_old")).alias("rscale"),
         )
         new_state = (
             self.state.join(scale, "vid", "left")
@@ -436,7 +523,11 @@ class PPREngine:
         self.push_to_convergence()
         for df in (touched, deg, p_u):
             df.unpersist()
-        prev_graph.unpersist()
+        # free the superseded graph's private delta blocks/caches — but
+        # never the caller's original graph, and nothing the new graph
+        # still shares (base edges/degree/scatter caches, vertex chain)
+        if prev_graph is not self._user_graph:
+            prev_graph.release(keep=new)
         self.metrics.updates_applied += n_updates
         self.metrics.batches_applied += 1
         # count full batch wall (prep + re-push), not just the push loop

@@ -42,30 +42,26 @@ class CheckpointRotator:
     Without rotation, every superstep's checkpointed state (hundreds of MB
     at bench scale) lingers in the block manager until JVM/Python GC gets
     around to it — storage churn/evictions make superstep times vary 2-3x.
+
+    All JVM registry access goes through rddtrack's guarded helpers: on
+    Spark Connect (or any runtime without ``_jsc``) rotation degrades to a
+    plain eager localCheckpoint with no explicit block release (correct,
+    just GC-paced — tests cover this fallback).
     """
 
     def __init__(self, spark) -> None:
         self._sc = spark.sparkContext
         self._prev_ids: set[int] = set()
 
-    def _persistent_ids(self) -> set[int]:
-        return {
-            int(k) for k in self._sc._jsc.getPersistentRDDs().keySet().toArray()
-        }
-
     def checkpoint(self, df: DataFrame) -> DataFrame:
-        before = self._persistent_ids()
-        out = df.localCheckpoint(eager=True)
-        created = self._persistent_ids() - before
-        # drop the previous superstep's state blocks
-        jmap = self._sc._jsc.getPersistentRDDs()
-        for entry in jmap.entrySet().toArray():
-            if int(entry.getKey()) in self._prev_ids:
-                try:
-                    entry.getValue().unpersist(False)
-                except Exception:  # noqa: BLE001
-                    pass
-        self._prev_ids = created
+        from dynamicppr_spark.rddtrack import track_new_rdds, unpersist_rdd_ids
+
+        with track_new_rdds(self._sc) as created:
+            out = df.localCheckpoint(eager=True)
+        # drop the previous superstep's state blocks (no-op when tracking
+        # is unavailable — created.ids stays empty and _prev_ids never fills)
+        unpersist_rdd_ids(self._sc, self._prev_ids - created.ids)
+        self._prev_ids = created.ids
         return out
 
     def release(self) -> None:
@@ -156,6 +152,7 @@ def run_superstep_loop(
     resume: bool = True,
     meta: dict | None = None,
     on_metrics: Callable[[dict], None] | None = None,
+    steps_per_job: int = 1,
 ) -> SuperstepResult:
     """Iterate ``state = step(state, i)`` until the convergence metric
     reaches ``tol`` or ``max_iter``.
@@ -165,10 +162,20 @@ def run_superstep_loop(
     ``DataFrame.observe`` — zero extra Spark jobs per superstep. Fall back
     to ``metric(state)`` (an explicit action) otherwise.
 
-    - Lineage is truncated EVERY superstep (see comment below).
+    - Lineage is truncated EVERY (composed) superstep (see comment below).
     - Every ``ckpt_every`` supersteps a durable parquet + manifest
       checkpoint is written when ``ckpt_dir`` is given (resumable).
     - ``resume=True`` + existing valid checkpoint: continue mid-iteration.
+    - ``steps_per_job > 1`` composes that many supersteps lazily into ONE
+      Spark job before checkpointing/observing — amortizing the serial
+      per-job floor (Catalyst analysis, py4j, scheduling, barrier) that
+      otherwise caps supersteps/sec on small-state kernels. Identical
+      exchange subtrees inside the composed plan are deduplicated by
+      Spark's ReusedExchange, so compute stays ~k×single-step.
+      Convergence is then only CHECKED every k steps: monotone kernels
+      (PageRank/CC and push-PPR) may run up to k-1 extra steps past tol,
+      which only tightens the result; do not compose kernels where extra
+      steps change semantics.
     """
     meta = dict(meta or {})
     spark = state.sparkSession
@@ -208,15 +215,36 @@ def run_superstep_loop(
     converged = False
     metrics: dict = {}
     it = start_iter
-    for it in range(start_iter + 1, max_iter + 1):
-        new_state = step(state, it)
+    last_durable = start_iter
+    steps_per_job = max(1, int(steps_per_job))
+    from dynamicppr_spark.rddtrack import track_new_rdds, unpersist_rdd_ids
+
+    sc = spark.sparkContext
+    while it < max_iter:
+        k = min(steps_per_job, max_iter - it)
+        new_state = state
+        inter_ids: set[int] = set()
+        for j in range(k):
+            new_state = step(new_state, it + 1 + j)
+            if j < k - 1:
+                # LAZY localCheckpoint: cuts the logical plan to a leaf per
+                # sub-step (a step references its input 2-3x, so a chained
+                # plan makes Catalyst re-walk shared subtrees ~3^k times)
+                # while the underlying RDD DAG still computes each
+                # intermediate exactly once inside the block's single job.
+                # Eager persists or broadcasts here would re-serialize the
+                # block into per-step jobs.
+                with track_new_rdds(sc) as created:
+                    new_state = new_state.localCheckpoint(eager=False)
+                inter_ids |= created.ids
+        it += k
         if observe is not None:
             obs = Observation()  # auto-named: unique per superstep
             new_state = new_state.observe(
-                obs, *[c.alias(k) for k, c in observe.items()]
+                obs, *[c.alias(kk) for kk, c in observe.items()]
             )
             new_state = rotator.checkpoint(new_state)
-            metrics = {k: (v if v is not None else 0.0) for k, v in obs.get.items()}
+            metrics = {k2: (v if v is not None else 0.0) for k2, v in obs.get.items()}
         else:
             new_state = rotator.checkpoint(new_state)
             metrics = metric(new_state)  # cheap: data already materialized
@@ -224,16 +252,18 @@ def run_superstep_loop(
         history.append(metrics)
         if on_metrics is not None:
             on_metrics(metrics)
+        unpersist_rdd_ids(sc, inter_ids)
         state = new_state
         if metrics[metric_key] <= tol:
             converged = True
             if ckpt_dir is not None:
                 state = _write_checkpoint(state, ckpt_dir, it, metrics, meta)
             break
-        if it % ckpt_every == 0 and ckpt_dir is not None:
+        if ckpt_dir is not None and it - last_durable >= ckpt_every:
             # durable (resumable) checkpoint cadence — local lineage is
             # already truncated every step
             state = _write_checkpoint(state, ckpt_dir, it, metrics, meta)
+            last_durable = it
     return SuperstepResult(
         state, it, converged, metrics, history, time.time() - t0, resumed_from
     )
