@@ -39,10 +39,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 PPR_SUPERSTEPS = int(os.environ.get("BENCH_PPR_SUPERSTEPS", "15"))
 PR_ITERS = int(os.environ.get("BENCH_PR_ITERS", "15"))
-N_UPDATE_BATCHES = int(os.environ.get("BENCH_UPDATE_BATCHES", "3"))
+N_UPDATE_BATCHES = int(os.environ.get("BENCH_UPDATE_BATCHES", "8"))
 UPDATES_PER_BATCH = int(os.environ.get("BENCH_UPDATES_PER_BATCH", "200"))
-# supersteps composed into one Spark job while state is small (superstep.py)
-STEPS_PER_JOB = int(os.environ.get("BENCH_STEPS_PER_JOB", "5"))
+# supersteps composed into one Spark job while state is small (superstep.py):
+# wins on small-state kernels (PageRank rank table); the 32-source PPR state
+# is large enough that per-job overhead is no longer the bottleneck there
+STEPS_PER_JOB = int(os.environ.get("BENCH_STEPS_PER_JOB", "1"))
+PR_STEPS_PER_JOB = int(os.environ.get("BENCH_PR_STEPS_PER_JOB", "4"))
 
 
 def _update_batches(spark, vmax: int, seed: int = 42):
@@ -101,7 +104,7 @@ def main() -> None:
 
     # -------- K3 PageRank: fixed supersteps -> supersteps/sec
     with timed("q_pagerank"):
-        pagerank(g, tol=0.0, max_iter=PR_ITERS, steps_per_job=STEPS_PER_JOB)
+        pagerank(g, tol=0.0, max_iter=PR_ITERS, steps_per_job=PR_STEPS_PER_JOB)
     extras["pagerank_supersteps_per_sec"] = round(
         PR_ITERS / timings["q_pagerank"], 4
     )
@@ -127,8 +130,20 @@ def main() -> None:
     )
     extras["ppr_n_sources"] = n_sources
 
+    # -------- K1/K8 static PPR, broadcast-CSR mode (reference-parity
+    # in-memory push; operators/local_push.py) — same work as q_ppr_static
+    with timed("q_ppr_static_bcsr"):
+        engb = PPREngine(g, top, eps=0.0, max_supersteps=PPR_SUPERSTEPS,
+                         mode="bcsr")
+        engb.push_to_convergence()
+    extras["ppr_bcsr_supersteps_per_sec"] = round(
+        PPR_SUPERSTEPS / timings["q_ppr_static_bcsr"], 4
+    )
+
     # -------- K2 dynamic updates -> edge-updates-applied/sec
-    eng2 = PPREngine(g, [1], eps=1e-3, steps_per_job=STEPS_PER_JOB)
+    # mode='auto' resolves to broadcast-CSR at this scale (falls back to
+    # the distributed path beyond the executor-memory gate)
+    eng2 = PPREngine(g, [1], eps=1e-3, mode="auto")
     eng2.push_to_convergence()
     batches = _update_batches(spark, extras["n_vertices"])
     with timed("q_ppr_updates"):
@@ -136,6 +151,18 @@ def main() -> None:
             eng2.apply_updates(b)
     extras["edge_updates_per_sec"] = round(
         eng2.metrics.updates_applied / timings["q_ppr_updates"], 4
+    )
+    extras["ppr_updates_mode"] = eng2._resolved_mode()
+
+    # df-mode dynamic updates (the 100 TB fallback path) for comparison
+    eng3 = PPREngine(g, [1], eps=1e-3, mode="df", steps_per_job=STEPS_PER_JOB)
+    eng3.push_to_convergence()
+    batches_df = _update_batches(spark, extras["n_vertices"], seed=7)
+    with timed("q_ppr_updates_df"):
+        for b in batches_df:
+            eng3.apply_updates(b)
+    extras["edge_updates_per_sec_df"] = round(
+        eng3.metrics.updates_applied / timings["q_ppr_updates_df"], 4
     )
 
     # -------- K6 triangles

@@ -175,6 +175,7 @@ class LinkGraph:
         self._vertices = v
 
         self._num_vertices: int | None = None
+        self._num_edges: int | None = None
         # derived-table overlays: (base_df, dirty_src_df|None, override_df|None)
         self._deg: tuple[DataFrame, DataFrame | None, DataFrame | None] | None = None
         self._scat: tuple[DataFrame, DataFrame | None, DataFrame | None] | None = None
@@ -219,6 +220,12 @@ class LinkGraph:
         if self._num_vertices is None:
             self._num_vertices = self._vertices.count()
         return self._num_vertices
+
+    @property
+    def num_edges(self) -> int:
+        if self._num_edges is None:
+            self._num_edges = self.edges.count()
+        return self._num_edges
 
     @property
     def out_degrees(self) -> DataFrame:
@@ -390,47 +397,78 @@ class LinkGraph:
         child._chain_rdds = set(self._chain_rdds)
         child._base_edges = self._base_edges
         child._num_vertices = None
+        child._num_edges = None
         child._deg = None
         child._scat = None
         child._csr = None
         child._sym = None
         child._dangling_known = None
         child.compact_threshold_rows = self.compact_threshold_rows
+        if batch_rows is None:
+            batch_rows = batch.count()
+        child._delta_rows = self._delta_rows + int(batch_rows)
 
-        # --- edge deltas: minus' = minus ∪ P ; plus' = (plus \ P) ∪ I
+        # ---- build EVERY per-batch delta lazily, evaluate them all in ONE
+        # tagged-union eager checkpoint job (each delta as its own branch),
+        # then slice by kind. Separate eager checkpoints per delta were
+        # ~6 driver-synchronized jobs per batch — the dominant per-batch
+        # cost once the O(E) copies were gone.
+        TAG_COLS = [
+            "kind", "src", "dst", "w", "vid", "outdeg", "wout", "inv_outdeg"
+        ]
+
+        def tag(df: DataFrame, kind: str, **cols) -> DataFrame:
+            types = {
+                "src": "bigint", "dst": "bigint", "w": "double",
+                "vid": "bigint", "outdeg": "bigint", "wout": "double",
+                "inv_outdeg": "double",
+            }
+            sel = [F.lit(kind).alias("kind")]
+            for c in TAG_COLS[1:]:
+                sel.append(
+                    cols[c].cast(types[c]).alias(c)
+                    if c in cols
+                    else F.lit(None).cast(types[c]).alias(c)
+                )
+            return df.select(*sel)
+
+        # edge deltas: minus' = minus ∪ P ; plus' = (plus \ P) ∪ I
         new_minus = (
             self._minus.unionByName(pairs).dropDuplicates(["src", "dst"])
             if self._minus is not None
             else pairs
         )
-        child._minus = child._ckpt(new_minus)
         plus_kept = (
             self._plus.join(F.broadcast(pairs), ["src", "dst"], "left_anti")
             if self._plus is not None
             else None
         )
         new_plus = ins if plus_kept is None else plus_kept.unionByName(ins)
-        child._plus = child._ckpt(new_plus)
-        if batch_rows is None:
-            batch_rows = batch.count()
-        child._delta_rows = self._delta_rows + int(batch_rows)
+        # composed child edge set, expressed from the LAZY deltas (the
+        # checkpointed slices are assigned to the child afterwards)
+        child_edges = self._base_edges.join(
+            F.broadcast(new_minus), ["src", "dst"], "left_anti"
+        ).unionByName(new_plus)
+        ew = F.col("w") if self.weighted else F.lit(1.0)
 
-        # --- vertex universe: old ∪ new endpoints (never shrinks — explicit
-        # or isolated-by-deletion vertices are preserved; ADVICE.md item 1)
+        frames = [
+            tag(new_minus, "minus", src=F.col("src"), dst=F.col("dst")),
+            tag(
+                new_plus, "plus", src=F.col("src"), dst=F.col("dst"),
+                **({"w": F.col("w")} if self.weighted else {}),
+            ),
+        ]
+
+        # vertex universe increment: old ∪ new endpoints (never shrinks —
+        # explicit or isolated-by-deletion vertices are preserved)
         endpoints = (
             pairs.select(F.col("src").alias("vid"))
             .unionByName(pairs.select(F.col("dst").alias("vid")))
             .distinct()
         )
         known = self._vertices.join(F.broadcast(endpoints), "vid", "left_semi")
-        new_vids = child._ckpt(endpoints.exceptAll(known), chain=True)
-        n_new = new_vids.count()
-        if n_new:
-            child._vertices = self._vertices.unionByName(new_vids)
-        else:
-            child._vertices = self._vertices
-        if self._num_vertices is not None:
-            child._num_vertices = self._num_vertices + n_new
+        new_vids = endpoints.exceptAll(known)
+        frames.append(tag(new_vids, "nv", vid=F.col("vid")))
 
         touched = pairs.select("src").distinct()
         recomputed = None
@@ -441,13 +479,13 @@ class LinkGraph:
                 if deg_dirty is not None
                 else touched
             )
-            new_dirty = child._ckpt(new_dirty)
+            frames.append(tag(new_dirty, "dirty", src=F.col("src")))
             recomputed = (
-                child.edges.join(F.broadcast(touched), "src", "left_semi")
+                child_edges.join(F.broadcast(touched), "src", "left_semi")
                 .groupBy("src")
                 .agg(
                     F.count("*").alias("outdeg"),
-                    F.sum(child._edge_w(child.edges)).cast("double").alias("wout"),
+                    F.sum(ew).cast("double").alias("wout"),
                 )
             )
             kept = (
@@ -458,21 +496,19 @@ class LinkGraph:
             new_override = (
                 recomputed if kept is None else kept.unionByName(recomputed)
             )
-            new_override = child._ckpt(new_override)
-            child._deg = (deg_base, new_dirty, new_override)
-            recomputed = new_override.join(F.broadcast(touched), "src", "left_semi")
-
+            frames.append(
+                tag(
+                    new_override, "dego",
+                    src=F.col("src"), outdeg=F.col("outdeg"), wout=F.col("wout"),
+                )
+            )
             if self._scat is not None:
                 s_base, s_dirty, s_override = self._scat
                 touched_scatter = (
-                    child.edges.join(F.broadcast(touched), "src", "left_semi")
+                    child_edges.join(F.broadcast(touched), "src", "left_semi")
                     .join(recomputed, "src")
                     .select(
-                        "src",
-                        "dst",
-                        (child._edge_w(child.edges) / F.col("wout")).alias(
-                            "inv_outdeg"
-                        ),
+                        "src", "dst", (ew / F.col("wout")).alias("inv_outdeg")
                     )
                 )
                 s_kept = (
@@ -485,24 +521,82 @@ class LinkGraph:
                     if s_kept is None
                     else s_kept.unionByName(touched_scatter)
                 )
-                new_s_override = child._ckpt(new_s_override)
-                child._scat = (s_base, new_dirty, new_s_override)
+                frames.append(
+                    tag(
+                        new_s_override, "scato",
+                        src=F.col("src"), dst=F.col("dst"),
+                        inv_outdeg=F.col("inv_outdeg"),
+                    )
+                )
+            # dangling evidence (only needed when the parent flag is False):
+            # touched srcs that lost all out-edges + new endpoints that are
+            # not insert srcs
+            if self._dangling_known is False:
+                lost_all = touched.join(
+                    recomputed.select("src"), "src", "left_anti"
+                )
+                new_dang = new_vids.join(
+                    ins.select(F.col("src").alias("vid")).distinct(),
+                    "vid",
+                    "left_anti",
+                )
+                frames.append(tag(lost_all, "dang", src=F.col("src")))
+                frames.append(tag(new_dang, "dang", vid=F.col("vid")))
 
-        # --- dangling flag maintenance (cheap, batch-sized checks)
+        tagged = frames[0]
+        for f in frames[1:]:
+            tagged = tagged.unionByName(f)
+        # repartition to a small constant width BEFORE checkpointing: the
+        # kept-slice branches preserve their parent RDD's partitioning, so
+        # without this the checkpointed RDD's partition count compounds
+        # ~3x per batch (every later slice scan pays the task count)
+        tagged = child._ckpt(tagged.repartition(4))
+        # ONE eager job evaluated every delta
+        kind_counts = {
+            r["kind"]: r["count"]
+            for r in tagged.groupBy("kind").count().collect()
+        }
+
+        child._minus = tagged.filter(F.col("kind") == "minus").select("src", "dst")
+        child._plus = tagged.filter(F.col("kind") == "plus").select(
+            "src", "dst", *(["w"] if self.weighted else [])
+        )
+        n_new = int(kind_counts.get("nv", 0))
+        if n_new:
+            nv_slice = tagged.filter(F.col("kind") == "nv").select("vid")
+            child._vertices = self._vertices.unionByName(nv_slice)
+            # the nv rows live in this tagged checkpoint's blocks, which the
+            # child's vertex chain now references — promote them to chain
+            # ownership so release(keep=successor) preserves them
+            child._chain_rdds |= child._own_rdds
+            child._own_rdds = set()
+        else:
+            child._vertices = self._vertices
+        if self._num_vertices is not None:
+            child._num_vertices = self._num_vertices + n_new
+        if self._deg is not None:
+            dirty_slice = tagged.filter(F.col("kind") == "dirty").select("src")
+            child._deg = (
+                self._deg[0],
+                dirty_slice,
+                tagged.filter(F.col("kind") == "dego").select(
+                    "src", "outdeg", "wout"
+                ),
+            )
+            if self._scat is not None:
+                child._scat = (
+                    self._scat[0],
+                    dirty_slice,
+                    tagged.filter(F.col("kind") == "scato").select(
+                        "src", "dst", "inv_outdeg"
+                    ),
+                )
+
+        # dangling flag maintenance (True is sticky-conservative — safe)
         if self._dangling_known is True:
-            child._dangling_known = True  # sticky-conservative (always safe)
+            child._dangling_known = True
         elif self._dangling_known is False and recomputed is not None:
-            lost_all = touched.join(
-                recomputed.select("src"), "src", "left_anti"
-            ).select(F.col("src").alias("vid"))
-            new_dang = new_vids.join(
-                ins.select(F.col("src").alias("vid")).distinct(),
-                "vid",
-                "left_anti",
-            )
-            child._dangling_known = (
-                lost_all.unionByName(new_dang).limit(1).count() > 0
-            )
+            child._dangling_known = kind_counts.get("dang", 0) > 0
 
         # --- CSR blocks: rebuild only touched hash partitions
         if self._csr is not None:
@@ -545,7 +639,7 @@ class LinkGraph:
             persist=self._persist,
             weighted=self.weighted,
         )
-        g._base_edges.count()  # materialize before callers release self
+        g._num_edges = g._base_edges.count()  # materialize before release
         g._num_vertices = self._num_vertices
         g._dangling_known = self._dangling_known
         g.compact_threshold_rows = self.compact_threshold_rows

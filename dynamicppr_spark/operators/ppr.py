@@ -88,9 +88,18 @@ class PPREngine:
         mode: str = "df",
         steps_per_job: int = 1,
     ) -> None:
-        """``mode``: 'df' = DataFrame scatter join (pure JVM/codegen);
-        'csr' = per-partition CSR-block gather-scatter via pandas/Arrow UDF
-        (operators/csr_kernel.py). Both implement identical semantics.
+        """``mode``:
+          - 'df'   = DataFrame scatter join (pure JVM/codegen) — the
+                     distributed default and the 100 TB path;
+          - 'csr'  = per-partition CSR-block gather-scatter via
+                     pandas/Arrow UDF (operators/csr_kernel.py);
+          - 'bcsr' = broadcast-CSR local push (operators/local_push.py):
+                     the whole CSR is torrent-broadcast and each source's
+                     push runs as one vectorized numpy loop — the
+                     reference-parity fast path for graphs that fit in
+                     executor memory (gated by ``max_local_edges``);
+          - 'auto' = 'bcsr' when the graph fits the gate, else 'df'.
+        All modes implement identical push semantics.
 
         ``steps_per_job > 1`` composes that many supersteps into one Spark
         job (lazily chained plans, one checkpoint/observe at the end) while
@@ -98,8 +107,10 @@ class PPREngine:
         Convergence is then checked at block granularity; extra pushes past
         eps only tighten the result (push is monotone in ||r||_1), so
         scores stay within the same eps envelope."""
-        self.graph = graph
+        self._graph = graph
+        self._graph_stale = False  # bcsr updates defer the distributed sync
         self._user_graph = graph  # never released by apply_updates
+        self._weighted = graph.weighted
         self.spark = graph.spark
         self.sources = [int(s) for s in sources]
         self.alpha = float(alpha)
@@ -127,6 +138,63 @@ class PPREngine:
         self.broadcast_max_bytes = 128 << 20
         self.broadcast_max_rows = self.broadcast_max_bytes // 40
         self._broadcast_frontier = True
+        # broadcast-CSR gate: ~16 B/edge -> 32M edges ≈ 0.5 GB per executor
+        self.max_local_edges = 32_000_000
+        self._local_csr = None          # driver-side LocalCSR mirror
+        self._bc_csr = None             # its broadcast handle
+        self._pending_adjust = None     # broadcast AdjustmentPlan (K2)
+
+    @property
+    def graph(self) -> LinkGraph:
+        """The engine's current LinkGraph. After broadcast-CSR update
+        batches the distributed mirror is rebuilt LAZILY from the local
+        CSR (one Arrow upload), so the per-batch hot path never pays for
+        distributed-table maintenance it may never need."""
+        if self._graph_stale:
+            self._graph = self._rebuild_graph_from_local()
+            self._graph_stale = False
+        return self._graph
+
+    @graph.setter
+    def graph(self, g: LinkGraph) -> None:
+        self._graph = g
+        self._graph_stale = False
+
+    def _rebuild_graph_from_local(self) -> LinkGraph:
+        import numpy as np
+        import pandas as pd
+
+        csr = self._local_csr
+        src_ids = csr.vids[np.repeat(np.arange(csr.n), np.diff(csr.indptr))]
+        dst_ids = csr.vids[csr.dst_pos]
+        data = {"src": src_ids, "dst": dst_ids}
+        if csr.w is not None:
+            data["w"] = csr.w
+        edf = self.spark.createDataFrame(pd.DataFrame(data))
+        vdf = self.spark.createDataFrame(pd.DataFrame({"vid": csr.vids}))
+        g = LinkGraph(
+            edf,
+            vertices=vdf,
+            num_partitions=self._graph.num_partitions,
+            persist=self._graph._persist,
+            weighted=csr.w is not None,
+        )
+        g._num_edges = csr.n_edges
+        g._num_vertices = csr.n
+        old = self._graph
+        if old is not self._user_graph:
+            old.release()
+        return g
+
+    def _resolved_mode(self) -> str:
+        if self.mode != "auto":
+            return self.mode
+        n_edges = (
+            self._local_csr.n_edges
+            if self._local_csr is not None
+            else self._graph.num_edges
+        )
+        return "bcsr" if n_edges <= self.max_local_edges else "df"
 
     # ------------------------------------------------------------ push loop
     def _push_superstep(
@@ -273,6 +341,8 @@ class PPREngine:
 
     def push_to_convergence(self) -> PPRMetrics:
         """Run synchronous supersteps until every source has ||r||_1 <= eps."""
+        if self._resolved_mode() == "bcsr":
+            return self._push_local()
         t0 = time.time()
         base = self.metrics.supersteps
         # pre-materialize graph caches so checkpoint rotation (below) never
@@ -395,6 +465,129 @@ class PPREngine:
             eng.metrics.supersteps = it
         return eng
 
+    # --------------------------------------------------- broadcast-CSR mode
+    def _ensure_local_csr(self) -> None:
+        from dynamicppr_spark.operators.local_push import csr_from_graph
+
+        if self._local_csr is None:
+            self._local_csr = csr_from_graph(
+                self.graph, max_edges=self.max_local_edges
+            )
+            self._bc_csr = self.spark.sparkContext.broadcast(self._local_csr)
+
+    def _push_local(self) -> PPRMetrics:
+        """Broadcast-CSR push: ONE Spark job — groupBy(source).applyInPandas
+        runs each source's full synchronous push loop as vectorized numpy
+        against the broadcast CSR (reference-parity in-memory execution;
+        see operators/local_push.py). Pending K2 adjustments are applied
+        in-kernel before pushing."""
+        from pyspark.accumulators import AccumulatorParam
+        from dynamicppr_spark.operators.local_push import make_push_kernel
+        from dynamicppr_spark.operators.superstep import CheckpointRotator
+
+        t0 = time.time()
+        base = self.metrics.supersteps
+        self._ensure_local_csr()
+        if not hasattr(self, "_rotator"):
+            self._rotator = CheckpointRotator(self.spark)
+
+        class _MaxParam(AccumulatorParam):
+            def zero(self, value):
+                return 0
+
+            def addInPlace(self, v1, v2):
+                return max(v1, v2)
+
+        acc = self.spark.sparkContext.accumulator(0, _MaxParam())
+        kernel = make_push_kernel(
+            self._bc_csr,
+            self.alpha,
+            self.eps,
+            self.max_supersteps,
+            bc_adjust=self._pending_adjust,
+            iter_accum=acc,
+        )
+        obs = Observation()
+        # pre-partition by source to exactly the group count: the groupBy
+        # shuffle then has one meaningful task per source instead of
+        # shuffle.partitions mostly-empty tasks (matters when one source's
+        # update re-push runs every second)
+        nparts = max(1, min(len(set(self.sources)), self._graph.num_partitions))
+        new_state = (
+            self.state.repartition(nparts, "source")
+            .groupBy("source")
+            .applyInPandas(kernel, schema=STATE_SCHEMA)
+            .observe(
+                obs,
+                F.sum(F.abs(F.col("residual"))).alias("l1_all"),
+                F.count(F.lit(1)).alias("state_rows"),
+            )
+        )
+        self.state = self._rotator.checkpoint(new_state)
+        got = obs.get
+        l1_all = float(got.get("l1_all") or 0.0)
+        self._pending_adjust = None
+        steps = int(acc.value)
+        self._converged = l1_all <= self.eps
+        self.metrics.supersteps = base + steps
+        self.metrics.history.append(
+            {"superstep": base + steps, "max_l1": l1_all}
+        )
+        self.metrics.wall_seconds += time.time() - t0
+        if self.ckpt_dir is not None:
+            self.state = self._checkpoint(
+                self.state, base + steps, {s: l1_all for s in self.sources}
+            )
+        return self.metrics
+
+    def _apply_updates_bcsr(self, batch: DataFrame) -> PPRMetrics:
+        """K2 on the broadcast-CSR path: the driver patches its numpy edge
+        mirror, precomputes the invariant-restoration COO template
+        (local_push.build_adjustment), rebroadcasts, and ONE Spark job
+        adjusts + re-pushes every source. The distributed LinkGraph mirror
+        is NOT touched here — it is rebuilt lazily from the local CSR the
+        next time ``self.graph`` is read (graph property above), so the
+        update hot path is one tiny collect + driver numpy + one job."""
+        from dynamicppr_spark.operators.local_push import (
+            apply_batch_local,
+            build_adjustment,
+        )
+
+        t0 = time.time()
+        wall_before = self.metrics.wall_seconds
+        self._ensure_local_csr()
+        cols = ["op", "src", "dst"] + (["w"] if self._weighted else [])
+        pdf = batch.select(*cols).toPandas()
+        n_updates = len(pdf)
+        old_csr = self._local_csr
+        new_csr = apply_batch_local(
+            old_csr,
+            pdf["op"].tolist(),
+            pdf["src"].to_numpy(),
+            pdf["dst"].to_numpy(),
+            pdf["w"].to_numpy() if "w" in pdf.columns else None,
+        )
+        adj = build_adjustment(
+            old_csr, new_csr, self.alpha,
+            touched_vids=pdf["src"].to_numpy(),
+        )
+        sc = self.spark.sparkContext
+        old_bc = self._bc_csr
+        self._local_csr = new_csr
+        self._bc_csr = sc.broadcast(new_csr)
+        self._pending_adjust = sc.broadcast(adj)
+        if old_bc is not None:
+            try:
+                old_bc.unpersist()
+            except Exception:  # noqa: BLE001
+                pass
+        self._graph_stale = True
+        self._push_local()
+        self.metrics.updates_applied += n_updates
+        self.metrics.batches_applied += 1
+        self.metrics.wall_seconds = wall_before + (time.time() - t0)
+        return self.metrics
+
     # -------------------------------------------------------------- dynamic
     def apply_updates(self, batch: DataFrame) -> PPRMetrics:
         """K2: apply one batch of (op,src,dst[,w]) edge updates and re-push.
@@ -404,6 +597,8 @@ class PPREngine:
         out-degree and per-edge weight w in place of 1 — for unweighted
         graphs wout is the exact integer-valued out-degree, so the floats
         are bit-identical to the unweighted formulation."""
+        if self._resolved_mode() == "bcsr":
+            return self._apply_updates_bcsr(batch)
         t0 = time.time()
         wall_before = self.metrics.wall_seconds
         c = (1.0 - self.alpha) / self.alpha
