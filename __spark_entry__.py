@@ -193,7 +193,7 @@ def _q_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(docs, k=3, threshold=0.2)
+    return D.ngram_jaccard_pairs(docs, k=3, threshold=0.2, max_df=100)
 
 
 def _q_doc_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -266,28 +266,43 @@ def _q_events_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PR_FIXED_ITERS = 8    # pinned on both engines (tol=0) -> SQL-expressible
+PPR_FIXED_SWEEPS = 10
+LPA_FIXED_ITERS = 5
+
+
 def _q_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (tol=0, 8 iters) — ranked on the ROUNDED
+    score so ordering is identical to the unrolled DuckDB SQL oracle."""
     from dynamicppr_spark.operators.pagerank import pagerank
 
     g = _cooccur_graph(spark, sf_dir)
+    w = Window.orderBy(F.desc("score"), F.asc("vid"))
     return (
-        pagerank(g, tol=1e-3, max_iter=60)
-        .select("vid", F.round("score", 8).alias("score"))
-        .orderBy(F.desc("score"), F.asc("vid"))
-        .limit(20)
+        pagerank(g, tol=0.0, max_iter=PR_FIXED_ITERS)
+        .select("vid", F.round("score", 6).alias("score"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 20)
     )
 
 
 def _q_ppr_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-sweep forward push (eps=0, 10 supersteps) from the minimum
+    vertex id — unrolled-SQL-checkable; ranked on the rounded score."""
     from dynamicppr_spark.operators.ppr import PPREngine
 
     g = _cooccur_graph(spark, sf_dir)
     src = g.vertices.agg(F.min("vid")).collect()[0][0]
-    eng = PPREngine(g, [int(src)], eps=1e-3)
+    eng = PPREngine(
+        g, [int(src)], eps=0.0, max_supersteps=PPR_FIXED_SWEEPS, mode="df"
+    )
     eng.push_to_convergence()
-    return eng.top_k(20).select(
-        "source", "vid", F.round("score", 8).alias("score"),
-        F.col("rank").cast("int").alias("rank"),
+    w = Window.orderBy(F.desc("score"), F.asc("vid"))
+    return (
+        eng.scores()
+        .select("source", "vid", F.round("score", 6).alias("score"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 20)
     )
 
 
@@ -307,9 +322,69 @@ def _q_lpa_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = _cooccur_graph(spark, sf_dir)
     return (
-        label_propagation(g, n_iter=5)
+        label_propagation(g, n_iter=LPA_FIXED_ITERS)
         .groupBy("label")
         .agg(F.count("*").alias("n_vertices"))
+    )
+
+
+def _q_lsh_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs -> connected components -> duplicate clusters
+    (doc_id, cluster_id = keeper doc, cluster_size)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.lsh_dup_clusters(docs, num_hashes=8, bands=4, k=3, max_bucket=50)
+
+
+def _q_weighted_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over co-occurrence WEIGHTED edges (weight = number of
+    orders the pair co-occurs in) — fixed iterations, rounded ranking."""
+    from dynamicppr_spark.graph import LinkGraph
+    from dynamicppr_spark.operators.pagerank import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    und = (
+        a.join(b, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst", "ok")
+        .distinct()  # one co-occurrence per (pair, order)
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    edges = und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    ).withColumn("w", F.col("w").cast("double"))
+    g = LinkGraph(edges, num_partitions=16)
+    w = Window.orderBy(F.desc("score"), F.asc("vid"))
+    return (
+        pagerank(g, tol=0.0, max_iter=PR_FIXED_ITERS)
+        .select("vid", F.round("score", 6).alias("score"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 20)
+    )
+
+
+def _q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (Spark `percentile`
+    == DuckDB `quantile_cont`, both rank*(n-1) linear interpolation)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("q25"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("q50"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("q75"),
+    )
+
+
+def _q_events_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch surface (rows-only: HLL/GK internals are engine-specific;
+    the accuracy gate lives in tests/test_functions.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.round(F.expr("percentile_approx(value, 0.5, 10000)"), 6).alias(
+            "median_approx"
+        ),
     )
 
 
@@ -326,13 +401,19 @@ def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline over documents-derived media: mapInPandas
+    feature extraction; n_bytes and the first digest byte are exact
+    cross-engine checks (DuckDB: octet_length/sha256)."""
     from dynamicppr_spark.functions.multimodal import (
         extract_features,
-        synthesize_media,
+        media_from_documents,
     )
 
-    media = synthesize_media(spark, n=64)
-    return extract_features(media).select("media_id", "kind", "n_bytes")
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_from_documents(spark, docs)
+    return extract_features(media).select(
+        "media_id", "kind", "n_bytes", "f0_byte"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -358,14 +439,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": _q_embedding_centroids,
         "supplier_customer_degrees": _q_supplier_customer_degrees,
         "events_lag_delta": _q_events_lag_delta,
-        # non-SQL kernels (rows-only here; allclose/exact gates in pytest)
+        # graph kernels — fixed-iteration forms, DuckDB-oracle-checked
+        # (recursive CTE for CC, unrolled iterations for PR/PPR/LPA);
+        # free-running convergence + 1e-6/exact gates live in pytest
         "pagerank_top20": _q_pagerank_top20,
+        "weighted_pagerank_top20": _q_weighted_pagerank_top20,
         "ppr_top20": _q_ppr_top20,
         "component_sizes": _q_component_sizes,
         "lpa_label_sizes": _q_lpa_sizes,
         "doc_simhash": _q_simhash,
-        "embedding_lsh_ann": _q_lsh_ann,
+        "lsh_dup_clusters": _q_lsh_dup_clusters,
         "media_features": _q_media_features,
+        "events_percentiles": _q_events_percentiles,
+        # rows-only (engine-specific sketch/hash internals; pytest gates)
+        "embedding_lsh_ann": _q_lsh_ann,
+        "events_sketch": _q_events_sketch,
     }
 
 
@@ -391,6 +479,257 @@ toks AS (
 )"""
 
 _STOP_IN = None  # filled below
+
+# graph CTEs shared by the kernel oracles: symmetric co-occurrence edges,
+# degree table, vertex universe (endpoints), vertex count
+_GRAPH = (
+    _EDGES
+    + """,
+deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+verts AS (SELECT DISTINCT src AS vid FROM e),
+nv AS (SELECT count(*) AS n FROM verts)"""
+)
+
+
+def _pagerank_sql(iters: int, alpha: float = 0.15) -> str:
+    """Unrolled fixed-iteration PageRank mirroring operators/pagerank.py
+    float-op for float-op on a dangling-free graph (the symmetric
+    co-occurrence graph has out-edges everywhere, so the dangling-mass
+    term is identically 0 on both engines): score' = alpha/n +
+    (1-alpha) * sum(score * (1/outdeg)) per in-edge."""
+    steps = [
+        "pr0 AS (SELECT vid, 1.0 / (SELECT n FROM nv) AS score FROM verts)"
+    ]
+    for i in range(1, iters + 1):
+        steps.append(f"""
+pr{i} AS (
+  SELECT v.vid,
+         {alpha} / (SELECT n FROM nv)
+         + {1.0 - alpha} * COALESCE(f.x, 0.0) AS score
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS vid, sum(p.score * (1.0 / d.outdeg)) AS x
+    FROM pr{i - 1} p JOIN e ON p.vid = e.src JOIN deg d ON d.src = p.vid
+    GROUP BY e.dst
+  ) f ON v.vid = f.vid
+)""")
+    return f"""
+WITH {_GRAPH},
+{','.join(steps)}
+SELECT vid, score, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT vid, round(score, 6) AS score,
+         row_number() OVER (ORDER BY round(score, 6) DESC, vid) AS rank
+  FROM pr{iters}
+) WHERE rank <= 20"""
+
+
+def _weighted_pagerank_sql(iters: int, alpha: float = 0.15) -> str:
+    """Same unroll over weighted edges (w = co-occurring order count);
+    contribution = score * (w / wout) exactly as LinkGraph.scatter_edges."""
+    steps = [
+        "pr0 AS (SELECT vid, 1.0 / (SELECT n FROM nv) AS score FROM verts)"
+    ]
+    for i in range(1, iters + 1):
+        steps.append(f"""
+pr{i} AS (
+  SELECT v.vid,
+         {alpha} / (SELECT n FROM nv)
+         + {1.0 - alpha} * COALESCE(f.x, 0.0) AS score
+  FROM verts v LEFT JOIN (
+    SELECT ew.dst AS vid, sum(p.score * (ew.w / d.wout)) AS x
+    FROM pr{i - 1} p JOIN ew ON p.vid = ew.src JOIN degw d ON d.src = p.vid
+    GROUP BY ew.dst
+  ) f ON v.vid = f.vid
+)""")
+    return f"""
+WITH undw AS (
+  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM (
+    SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst,
+           l1.l_orderkey AS ok
+    FROM lineitem l1
+    JOIN lineitem l2
+      ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+  ) GROUP BY src, dst
+),
+ew AS (SELECT src, dst, w FROM undw
+       UNION ALL SELECT dst AS src, src AS dst, w FROM undw),
+degw AS (SELECT src, sum(w) AS wout FROM ew GROUP BY src),
+verts AS (SELECT DISTINCT src AS vid FROM ew),
+nv AS (SELECT count(*) AS n FROM verts),
+{','.join(steps)}
+SELECT vid, score, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT vid, round(score, 6) AS score,
+         row_number() OVER (ORDER BY round(score, 6) DESC, vid) AS rank
+  FROM pr{iters}
+) WHERE rank <= 20"""
+
+
+def _ppr_sql(sweeps: int, alpha: float = 0.15) -> str:
+    """Unrolled fixed-sweep synchronous forward push from the minimum
+    vertex id (dangling-free graph): pi' = pi + alpha*r;
+    r'(t) = sum over in-edges of (1-alpha) * r(v) * (1/outdeg(v))."""
+    steps = [
+        """s0 AS MATERIALIZED (
+  SELECT vid,
+         CASE WHEN vid = (SELECT min(vid) FROM verts) THEN 1.0 ELSE 0.0 END AS r,
+         0.0 AS pi
+  FROM verts)"""
+    ]
+    for i in range(1, sweeps + 1):
+        # MATERIALIZED: each step references its predecessor twice; an
+        # inlined CTE chain would re-expand 2^k times
+        steps.append(f"""
+s{i} AS MATERIALIZED (
+  SELECT s.vid,
+         COALESCE(f.x, 0.0) AS r,
+         s.pi + {alpha} * s.r AS pi
+  FROM s{i - 1} s LEFT JOIN (
+    SELECT e.dst AS vid, sum({1.0 - alpha} * p.r * (1.0 / d.outdeg)) AS x
+    FROM s{i - 1} p JOIN e ON p.vid = e.src JOIN deg d ON d.src = p.vid
+    GROUP BY e.dst
+  ) f ON s.vid = f.vid
+)""")
+    return f"""
+WITH {_GRAPH},
+{','.join(steps)}
+SELECT (SELECT min(vid) FROM verts) AS source, vid, score,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT vid, round(pi, 6) AS score,
+         row_number() OVER (ORDER BY round(pi, 6) DESC, vid) AS rank
+  FROM s{sweeps}
+) WHERE rank <= 20"""
+
+
+def _lpa_sql(iters: int) -> str:
+    """Unrolled synchronous label propagation, min-label tie-break —
+    all-integer, bit-exact vs operators/lpa.py."""
+    steps = ["l0 AS (SELECT vid, vid AS label FROM verts)"]
+    for i in range(1, iters + 1):
+        # MATERIALIZED: referenced twice per step (see _ppr_sql)
+        steps.append(f"""
+l{i} AS MATERIALIZED (
+  SELECT p.vid, COALESCE(b.best, p.label) AS label
+  FROM l{i - 1} p LEFT JOIN (
+    SELECT dst, label AS best FROM (
+      SELECT v.dst, v.label,
+             row_number() OVER (PARTITION BY v.dst
+                                ORDER BY v.n DESC, v.label) AS rn
+      FROM (
+        SELECT e.dst, q.label, count(*) AS n
+        FROM l{i - 1} q JOIN e ON q.vid = e.src
+        GROUP BY e.dst, q.label
+      ) v
+    ) WHERE rn = 1
+  ) b ON p.vid = b.dst
+)""")
+    return f"""
+WITH {_GRAPH},
+{','.join(steps)}
+SELECT label, count(*) AS n_vertices FROM l{iters} GROUP BY label"""
+
+
+def _cc_sql() -> str:
+    """Connected components as a recursive-CTE reachability closure:
+    component id = minimum vid that reaches the vertex (symmetric edges
+    => the component minimum, matching operators/components.py)."""
+    return f"""
+WITH RECURSIVE {_GRAPH},
+reach(vid, lab) AS (
+  SELECT vid, vid FROM verts
+  UNION
+  SELECT e.dst, reach.lab FROM reach JOIN e ON reach.vid = e.src
+),
+comp AS (SELECT vid, min(lab) AS component FROM reach GROUP BY vid)
+SELECT component, count(*) AS n_vertices FROM comp GROUP BY component"""
+
+
+def _simhash_sql() -> str:
+    """64-bit SimHash with the md5 hi/lo hash family — mirrors
+    functions/dedup.py::simhash64 bit for bit."""
+    vote_cols = []
+    for b in range(64):
+        expr = (
+            f"((hhi >> {b - 32}) & 1)" if b >= 32 else f"((hlo >> {b}) & 1)"
+        )
+        vote_cols.append(
+            f"sum(CASE WHEN {expr} = 1 THEN w ELSE -w END) AS b{b}"
+        )
+    terms = []
+    for b in range(64):
+        t = f"(1::HUGEINT << {b})" if b < 63 else "-(1::HUGEINT << 63)"
+        terms.append(f"CASE WHEN b{b} > 0 THEN {t} ELSE 0::HUGEINT END")
+    return f"""
+WITH tk AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+th AS (
+  SELECT doc_id, tok, count(*) AS w,
+         CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT AS BIGINT) AS hhi,
+         CAST(('0x' || substr(md5(tok), 9, 8))::UBIGINT AS BIGINT) AS hlo
+  FROM tk GROUP BY doc_id, tok
+),
+votes AS (
+  SELECT doc_id, {', '.join(vote_cols)}
+  FROM th GROUP BY doc_id
+)
+SELECT doc_id, CAST({' + '.join(terms)} AS BIGINT) AS simhash FROM votes"""
+
+
+def _lsh_clusters_sql(
+    num_hashes: int = 8, bands: int = 4, max_bucket: int = 50
+) -> str:
+    """MinHash-LSH candidate pairs consolidated into clusters via a
+    recursive reachability closure — mirrors dedup.py::lsh_dup_clusters
+    (md5 minhash family, banded signatures, per-bucket cap, connected
+    components = min reachable doc_id)."""
+    rows = num_hashes // bands
+    mh_cols = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(num_hashes)
+    )
+    band_selects = []
+    for b in range(bands):
+        sig = " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({sig}) AS bsig FROM mh"
+        )
+    return f"""
+WITH RECURSIVE {_TOKS},
+sh AS (
+  SELECT DISTINCT doc_id,
+         md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS shingle
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+),
+mh AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+banded AS ({' UNION ALL '.join(band_selects)}),
+capped AS (
+  SELECT doc_id, band, bsig FROM (
+    SELECT doc_id, band, bsig,
+           row_number() OVER (PARTITION BY band, bsig ORDER BY doc_id) AS rn
+    FROM banded
+  ) WHERE rn <= {max_bucket}
+),
+prs AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+),
+pe AS (SELECT da AS s, db AS d FROM prs UNION ALL SELECT db, da FROM prs),
+pv AS (SELECT DISTINCT s AS vid FROM pe),
+reach(vid, lab) AS (
+  SELECT vid, vid FROM pv
+  UNION
+  SELECT pe.d, reach.lab FROM reach JOIN pe ON reach.vid = pe.s
+),
+comp AS (SELECT vid AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY vid),
+sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM comp GROUP BY cluster_id)
+SELECT c.doc_id, c.cluster_id, s.cluster_size
+FROM comp c JOIN sizes s USING (cluster_id)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -526,10 +865,16 @@ FROM documents GROUP BY 1 HAVING count(*) > 1""",
         "ngram_jaccard_pairs": f"""
 WITH {_TOKS},
 {sh},
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shc AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+    FROM sh
+  ) WHERE df <= 100
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT c.doc_a, c.doc_b,
@@ -583,4 +928,26 @@ SELECT label, CAST(u.i - 1 AS INTEGER) AS pos,
        count(*) AS n_vecs
 FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
 GROUP BY label, pos""",
+        # ---- graph kernels (fixed-iteration unrolls / recursive CTEs)
+        "pagerank_top20": _pagerank_sql(PR_FIXED_ITERS),
+        "weighted_pagerank_top20": _weighted_pagerank_sql(PR_FIXED_ITERS),
+        "ppr_top20": _ppr_sql(PPR_FIXED_SWEEPS),
+        "lpa_label_sizes": _lpa_sql(LPA_FIXED_ITERS),
+        "component_sizes": _cc_sql(),
+        "doc_simhash": _simhash_sql(),
+        "lsh_dup_clusters": _lsh_clusters_sql(),
+        "media_features": """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(('0x' || substr(sha256(text), 1, 2))::UBIGINT AS INTEGER)
+         AS f0_byte
+FROM documents""",
+        "events_percentiles": """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 6) AS q25,
+       round(quantile_cont(value, 0.5), 6) AS q50,
+       round(quantile_cont(value, 0.75), 6) AS q75
+FROM events GROUP BY event_type""",
     }

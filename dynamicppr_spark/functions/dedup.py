@@ -21,6 +21,19 @@ from pyspark.sql import DataFrame, functions as F
 from dynamicppr_spark.functions.text import shingle_table
 
 
+def hot_shingles(
+    docs: DataFrame, col: str = "text", k: int = 3, max_df: int = 10_000
+) -> DataFrame:
+    """(shingle, df) — shingles above the document-frequency cap that
+    ngram_jaccard_pairs drops (observable, never a silent cap)."""
+    sh = shingle_table(docs, col=col, k=k)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+    )
+
+
 def exact_dup_groups(docs: DataFrame, col: str = "text") -> DataFrame:
     """(fp, n_dups, keep_doc_id): md5-identical duplicate groups (size>1)."""
     norm = F.md5(F.trim(F.lower(F.col(col))))
@@ -41,17 +54,37 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     min_tokens: int = 3,
+    max_df: int | None = 10_000,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard): near-dup pairs by k-shingle Jaccard.
 
     Inverted-index join on shingle (each shared shingle pairs two docs
     once), then |A∩B| / (|A|+|B|-|A∩B|). doc_a < doc_b. Jaccard rounded
     to 6 dp for cross-engine hash stability.
+
+    ``max_df`` caps the inverted index: shingles appearing in more than
+    ``max_df`` documents (boilerplate) are dropped BEFORE the self-join —
+    a single hot shingle shared by 10^6 docs would otherwise emit ~10^12
+    candidate pairs into one reducer. Jaccard is then computed over the
+    capped shingle space (sizes too), a well-defined metric that both
+    engines mirror. The hot-shingle count is observable via
+    ``hot_shingles()``; pass ``max_df=None`` for the exact uncapped join
+    (small corpora only).
     """
     eligible = docs.filter(
         F.size(F.split(F.trim(F.lower(F.col(col))), r"\s+")) >= min_tokens
     )
     sh = shingle_table(eligible, col=col, k=k)
+    if max_df is not None:
+        # groupBy-count has map-side partial aggregation => no hot-key
+        # reducer; the hot list itself is tiny so the anti-join broadcasts
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -172,24 +205,32 @@ def minhash_lsh_pairs(
 def simhash64(docs: DataFrame, col: str = "text") -> DataFrame:
     """(doc_id, simhash): 64-bit SimHash over whitespace tokens.
 
-    Token hash = xxhash64(token); each bit votes +1/-1 weighted by token
-    frequency; simhash bit b = 1 iff the vote is positive. Built-ins only
-    (explode + bit ops + agg); engine-specific hash => checked rows-only
-    (xxhash64 differs across engines by design).
+    Token hash = first 16 hex chars of md5(token), split into two 32-bit
+    halves (hi = chars 1-8, lo = chars 9-16) so the value is buildable on
+    any engine without uint64 support; each bit votes +1/-1 weighted by
+    token frequency; simhash bit b = 1 iff the vote is positive.
+    Built-ins only (explode + conv + bit ops + agg), md5 hash family =>
+    bit-identical in DuckDB SQL (oracle-checkable).
     """
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col(col))), r"\s+")).alias("tok"),
     )
-    th = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("w")).withColumn(
-        "h", F.xxhash64("tok")
+    h = F.md5(F.col("tok"))
+    th = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("w"))
+        .withColumn("hhi", F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"))
+        .withColumn("hlo", F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint"))
     )
+    bit = lambda b: (  # noqa: E731
+        F.shiftright(F.col("hhi"), b - 32) if b >= 32 else F.shiftright(F.col("hlo"), b)
+    ).bitwiseAND(F.lit(1))
     votes = th.select(
         "doc_id",
         *[
             (
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("w"))
-                .otherwise(-F.col("w"))
+                F.when(bit(b) == 1, F.col("w")).otherwise(-F.col("w"))
             ).alias(f"b{b}")
             for b in range(64)
         ],
@@ -208,3 +249,46 @@ def simhash64(docs: DataFrame, col: str = "text") -> DataFrame:
         ).alias("simhash"),
     )
     return sim
+
+
+def lsh_dup_clusters(
+    docs: DataFrame,
+    col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size): near-duplicate CLUSTERS.
+
+    The most common real dedup workflow: LSH candidate pairs
+    (minhash_lsh_pairs) are consolidated into transitive clusters with the
+    engine's own connected-components kernel (operators/components.py);
+    cluster_id = the cluster's minimum doc_id — which is also the
+    canonical keeper document. Only docs belonging to a multi-doc cluster
+    are returned. Deterministic end to end (md5 minhash family + min-label
+    components), so the whole composition has an exact DuckDB oracle
+    (recursive-CTE closure over the same pair SQL).
+    """
+    from dynamicppr_spark.graph import LinkGraph
+    from dynamicppr_spark.operators.components import connected_components
+
+    pairs = minhash_lsh_pairs(
+        docs, col=col, num_hashes=num_hashes, bands=bands, k=k,
+        max_bucket=max_bucket,
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    g = LinkGraph(edges)  # symmetrized inside connected_components
+    comp = connected_components(g).select(
+        F.col("vid").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    out = comp.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+    g.release()
+    return out

@@ -2,10 +2,18 @@
 columns with typed metadata, processed in Arrow-batched ``mapInPandas``.
 
 The container has no image/audio codecs, so the DECODE step is stubbed
-(deterministic fake features derived from the bytes, or
-NotImplementedError for real decode) — but the Spark-side plumbing is
-real and tested: schema, batch iteration, partitioning, UDF signatures
-all match what a production decode (PIL/librosa/ffmpeg) would use.
+(deterministic sha256-derived features, or NotImplementedError for real
+decode) — but the Spark-side plumbing is real and tested: schema, batch
+iteration, partitioning, UDF signatures all match what a production decode
+(PIL/librosa/ffmpeg) would use. Kernels are batch-vectorized (np.repeat
+for row expansion, no iterrows); the only per-element Python is the hash
+call standing in for the per-item decode a real codec would also need.
+
+``media_from_documents`` derives the media table deterministically from
+the driver-provided ``documents`` parquet (payload = utf-8 bytes of the
+text), which makes the whole pipeline DuckDB-oracle-checkable:
+n_bytes == octet_length(encode(text)) and the first feature byte ==
+first byte of sha256(text).
 """
 
 from __future__ import annotations
@@ -15,23 +23,47 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 MEDIA_SCHEMA = (
     "media_id bigint, kind string, payload binary, width int, height int, "
     "duration_ms int"
 )
-FEATURE_SCHEMA = "media_id bigint, kind string, feature array<float>, n_bytes bigint"
+FEATURE_SCHEMA = (
+    "media_id bigint, kind string, feature array<float>, n_bytes bigint, "
+    "f0_byte int"
+)
 FRAME_SCHEMA = "media_id bigint, frame_idx int, frame_sha string"
 
+_KINDS = ["image", "audio", "video"]
 
-def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (binary payloads) for tests/bench."""
+
+def media_from_documents(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Deterministic media table over ``documents``: payload = utf-8 text
+    bytes, kind cycles image/audio/video by doc_id, typed metadata derived
+    from doc_id. Exercises binary columns + metadata exactly like a real
+    media ingest, with an exact SQL mirror."""
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in _KINDS]),
+        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+    )
+    is_image = F.pmod(F.col("doc_id"), F.lit(3)) == 0
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.when(is_image, (64 + F.pmod(F.col("doc_id"), F.lit(4)) * 32).cast("int")).alias("width"),
+        F.when(is_image, (64 + F.pmod(F.col("doc_id"), F.lit(3)) * 32).cast("int")).alias("height"),
+        F.when(~is_image, (1000 * (1 + F.pmod(F.col("doc_id"), F.lit(5)))).cast("int")).alias("duration_ms"),
+    )
+
+
+def synthesize_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (random binary payloads) for tests."""
     rng = np.random.default_rng(seed)
-    kinds = ["image", "audio", "video"]
     rows = []
     for i in range(n):
-        kind = kinds[i % 3]
+        kind = _KINDS[i % 3]
         payload = rng.integers(0, 256, size=256 + (i % 7) * 64, dtype=np.uint8)
         rows.append(
             (
@@ -54,25 +86,38 @@ def _decode_real(kind: str, payload: bytes):
     )
 
 
-def _fake_feature(payload: bytes, dim: int = 8) -> np.ndarray:
-    """Deterministic stand-in for an image/audio embedding: bytes of the
-    sha256 digest scaled to [0,1) — stable across runs and engines."""
-    h = hashlib.sha256(payload).digest()
-    return np.frombuffer(h[:dim], dtype=np.uint8).astype(np.float32) / 255.0
+def _fake_features(payloads: np.ndarray, dim: int = 8) -> np.ndarray:
+    """Deterministic stand-in for image/audio embeddings: bytes of each
+    sha256 digest scaled to [0,1) — stable across runs and engines. The
+    hash call is per item (as real decode would be); everything around it
+    is batch numpy."""
+    out = np.empty((len(payloads), dim), dtype=np.float32)
+    for i, p in enumerate(payloads):
+        out[i] = np.frombuffer(
+            hashlib.sha256(p).digest()[:dim], dtype=np.uint8
+        )
+    return out / np.float32(255.0)
 
 
 def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
-    """mapInPandas feature extraction: one Arrow batch in, one out."""
+    """mapInPandas feature extraction: one Arrow batch in, one out.
+
+    Adds ``f0_byte`` (the first digest byte, an exact integer) so the
+    pipeline has a rounding-free cross-engine check column."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [ _fake_feature(p, dim) for p in pdf["payload"] ]
+            payloads = pdf["payload"].to_numpy()
+            feats = _fake_features(payloads, dim)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "feature": feats,
+                    "feature": list(feats),
                     "n_bytes": pdf["payload"].map(len),
+                    "f0_byte": np.round(feats[:, 0] * 255).astype(np.int32)
+                    if len(pdf)
+                    else np.empty(0, np.int32),
                 }
             )
 
@@ -81,24 +126,37 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
 
 def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
     """Frame-sampling plumbing for video rows: emits one row per sampled
-    frame with a deterministic content hash (real decode stubbed)."""
+    frame with a deterministic content hash (real decode stubbed).
+
+    Row expansion is vectorized: np.repeat over the media ids/payloads and
+    concatenated aranges for the frame indices — no iterrows."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_id, out_idx, out_sha = [], [], []
             vids = pdf[pdf["kind"] == "video"]
-            for _, row in vids.iterrows():
-                n_frames = max(1, int(row["duration_ms"]) // every_ms)
-                for f in range(n_frames):
-                    out_id.append(row["media_id"])
-                    out_idx.append(f)
-                    out_sha.append(
-                        hashlib.sha256(
-                            row["payload"] + f.to_bytes(4, "little")
-                        ).hexdigest()
-                    )
+            if not len(vids):
+                yield pd.DataFrame(
+                    {"media_id": [], "frame_idx": [], "frame_sha": []}
+                ).astype({"media_id": "int64", "frame_idx": "int32", "frame_sha": "object"})
+                continue
+            n_frames = np.maximum(
+                1, vids["duration_ms"].to_numpy(dtype=np.int64) // every_ms
+            )
+            media_ids = np.repeat(vids["media_id"].to_numpy(np.int64), n_frames)
+            payloads = np.repeat(vids["payload"].to_numpy(), n_frames)
+            frame_idx = np.concatenate(
+                [np.arange(k, dtype=np.int32) for k in n_frames]
+            )
+            shas = [
+                hashlib.sha256(p + int(f).to_bytes(4, "little")).hexdigest()
+                for p, f in zip(payloads, frame_idx)
+            ]
             yield pd.DataFrame(
-                {"media_id": out_id, "frame_idx": out_idx, "frame_sha": out_sha}
+                {
+                    "media_id": media_ids,
+                    "frame_idx": frame_idx,
+                    "frame_sha": shas,
+                }
             )
 
     return media.repartition(8, "media_id").mapInPandas(

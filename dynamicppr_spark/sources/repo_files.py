@@ -47,9 +47,17 @@ def _extract_import_paths(content: pd.Series) -> pd.Series:
     )
 
 
-def latest_files(repo_files: DataFrame) -> DataFrame:
-    """One row per (repo, path): the newest commit's content (E1)."""
-    w = Window.partitionBy("repo", "path").orderBy(F.desc("commit"))
+def latest_files(repo_files: DataFrame, order_col: str = "commit") -> DataFrame:
+    """One row per (repo, path): the newest version's content (E1).
+
+    ``order_col`` decides "newest". The default, ``commit``, assumes
+    MONOTONICALLY SORTABLE commit identifiers (true for the synthetic
+    fixtures, which use zero-padded sequence ids). Real git hashes are
+    random: on a real corpus pass a commit-timestamp column here
+    (``order_col="committed_at"``) or any other sortable version key —
+    otherwise an arbitrary version wins and downstream dependency edges
+    are built from stale content."""
+    w = Window.partitionBy("repo", "path").orderBy(F.desc(order_col))
     return (
         repo_files.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

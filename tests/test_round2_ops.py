@@ -1,0 +1,169 @@
+"""Round-2 operators: incremental CC, warm-start PageRank, weighted
+kernels, hot-shingle cap, LSH dup clusters, sketch accuracy."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dynamicppr_spark.graph import LinkGraph
+from dynamicppr_spark.operators.components import (
+    connected_components,
+    connected_components_incremental,
+)
+from dynamicppr_spark.operators.pagerank import pagerank
+from tests import fixtures, oracle
+
+
+def _labels(df):
+    return {r.vid: r.component for r in df.collect()}
+
+
+def test_incremental_cc_insert_merge(spark, make_graph):
+    # two components (0-4 path, 10-14 path) merged by an inserted bridge
+    e1, _ = fixtures.path_graph(5)
+    e2 = e1 + 10
+    edges = np.vstack([e1, e2])
+    g = make_graph(edges, 15)
+    base = connected_components(g)
+    batch = spark.createDataFrame(
+        [("+", 4, 10)], "op string, src bigint, dst bigint"
+    )
+    inc, g2 = connected_components_incremental(g, base, batch)
+    full = connected_components(
+        LinkGraph(g2.edges, vertices=g2.vertices, num_partitions=8)
+    )
+    assert _labels(inc) == _labels(full)
+
+
+def test_incremental_cc_delete_falls_back_exact(spark, make_graph):
+    edges, n = fixtures.two_cliques_bridge()
+    g = make_graph(edges, n)
+    base = connected_components(g)
+    # delete the bridge (5->6, the only inter-clique edge) -> component
+    # SPLIT; must still be exact
+    bridge = (5, 6)
+    batch = spark.createDataFrame(
+        [("-", bridge[0], bridge[1]), ("-", bridge[1], bridge[0])],
+        "op string, src bigint, dst bigint",
+    )
+    inc, g2 = connected_components_incremental(g, base, batch)
+    final = fixtures.apply_script_numpy(
+        edges,
+        __import__("pandas").DataFrame(
+            {"batch_id": [0, 0], "op": ["-", "-"],
+             "src": [bridge[0], bridge[1]], "dst": [bridge[1], bridge[0]]}
+        ),
+    )
+    want = oracle.connected_components(final, n)
+    got = _labels(inc)
+    assert got == {v: int(c) for v, c in enumerate(want)}
+
+
+def test_pagerank_warm_start_matches_cold(spark, make_graph):
+    edges, n = fixtures.rmat_graph(n=150, m=900)
+    g = make_graph(edges, n)
+    cold = pagerank(g, tol=1e-8, max_iter=300)
+    batch = spark.createDataFrame(
+        [("+", 0, 149), ("+", 149, 0)], "op string, src bigint, dst bigint"
+    )
+    g2 = g.with_updates(batch)
+    cold2 = pagerank(g2, tol=1e-8, max_iter=300)
+    warm2 = pagerank(g2, tol=1e-8, max_iter=300, init_scores=cold)
+    c = {r.vid: r.score for r in cold2.collect()}
+    w = {r.vid: r.score for r in warm2.collect()}
+    assert max(abs(c[v] - w[v]) for v in c) < 1e-6
+
+
+def test_weighted_pagerank_matches_numpy(spark):
+    rng = np.random.default_rng(11)
+    n = 40
+    rows = []
+    seen = set()
+    for _ in range(200):
+        s, d = int(rng.integers(0, n)), int(rng.integers(0, n))
+        if s != d and (s, d) not in seen:
+            seen.add((s, d))
+            rows.append((s, d, float(rng.integers(1, 5))))
+    edf = spark.createDataFrame(rows, "src bigint, dst bigint, w double")
+    vdf = spark.createDataFrame([(i,) for i in range(n)], "vid bigint")
+    g = LinkGraph(edf, vertices=vdf, num_partitions=8)
+    got = np.zeros(n)
+    for r in pagerank(g, tol=1e-10, max_iter=500).collect():
+        got[r.vid] = r.score
+    # numpy weighted power iteration with uniform dangling redistribution
+    alpha = 0.15
+    W = np.zeros((n, n))
+    for s, d, w in rows:
+        W[s, d] = w
+    wout = W.sum(axis=1)
+    scores = np.full(n, 1.0 / n)
+    for _ in range(500):
+        dm = scores[wout == 0].sum()
+        contrib = np.zeros(n)
+        nz = wout > 0
+        contrib = (scores[nz] / wout[nz]) @ W[nz]
+        new = alpha / n + (1 - alpha) * (dm / n + contrib)
+        if np.abs(new - scores).max() <= 1e-10:
+            scores = new
+            break
+        scores = new
+    np.testing.assert_allclose(got, scores, atol=1e-6)
+
+
+def test_ngram_cap_bounds_pairs(spark):
+    from dynamicppr_spark.functions.dedup import hot_shingles, ngram_jaccard_pairs
+
+    # 40 docs sharing one boilerplate header + a unique tail
+    docs = spark.createDataFrame(
+        [(i, f"shared legal header boilerplate unique{i} tail{i} x{i}")
+         for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.0, max_df=None).count()
+    capped = ngram_jaccard_pairs(docs, threshold=0.0, max_df=10).count()
+    assert uncapped == 40 * 39 / 2  # boilerplate pairs everyone
+    assert capped == 0  # hot shingles dropped -> no surviving pairs
+    hot = hot_shingles(docs, max_df=10).collect()
+    assert len(hot) > 0 and all(r.df == 40 for r in hot)
+
+
+def test_lsh_dup_clusters_transitive_chain(spark):
+    from dynamicppr_spark.functions.dedup import lsh_dup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),          # near-dup of 1
+            (3, base + " extra more"),     # near-dup of 2 (chain 1-2-3)
+            (10, "completely different content about spark engines at scale"),
+            (11, "completely different content about spark engines at scale"),
+            (20, "an unrelated singleton document with no duplicates at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = lsh_dup_clusters(docs, num_hashes=8, bands=4, k=3).collect()
+    clusters: dict[int, set[int]] = {}
+    for r in out:
+        clusters.setdefault(r.cluster_id, set()).add(r.doc_id)
+    # transitive chain 1-2-3 lands in ONE cluster with keeper=1
+    assert {1, 2, 3} <= clusters.get(1, set())
+    assert clusters.get(10) == {10, 11}
+    assert all(r.cluster_size == len(clusters[r.cluster_id]) for r in out)
+    assert 20 not in {r.doc_id for r in out}  # singletons excluded
+
+
+def test_sketch_accuracy_vs_exact(spark):
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    row = E.queries()["events_sketch"](spark, sf).collect()[0]
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    exact_users = ev.select("user_id").distinct().count()
+    exact_median = ev.agg(F.expr("percentile(value, 0.5)")).collect()[0][0]
+    assert abs(row.approx_users - exact_users) <= 0.05 * exact_users
+    assert abs(row.median_approx - exact_median) <= max(
+        0.05 * abs(exact_median), 1e-6
+    )
