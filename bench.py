@@ -74,9 +74,12 @@ def main() -> None:
         # iterative kernels: AQE's per-stage re-planning is serial driver
         # time; the scaling runs disable it (fixed-size supersteps)
         extra["spark.sql.adaptive.enabled"] = "false"
+    # SPARK_GRAFT_MASTER overrides the master expression (e.g.
+    # local-cluster[8,4,4096] for the separate-executor-JVM protocol)
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{CPUS}]")
     spark = get_spark(
         "dynamicppr-bench",
-        master=f"local[{CPUS}]",
+        master=master,
         shuffle_partitions=parts,
         extra_confs=extra,
     )
@@ -141,9 +144,12 @@ def main() -> None:
     )
 
     # -------- K2 dynamic updates -> edge-updates-applied/sec
-    # mode='auto' resolves to broadcast-CSR at this scale (falls back to
-    # the distributed path beyond the executor-memory gate)
-    eng2 = PPREngine(g, [1], eps=1e-3, mode="auto")
+    # The maintained workload is the reference's batched-query model: 32
+    # concurrent PPR sources all kept incrementally correct under the
+    # update stream. mode='auto' resolves to broadcast-CSR at this scale
+    # (per-source-parallel local push; falls back to the distributed path
+    # beyond the executor-memory gate).
+    eng2 = PPREngine(g, top, eps=1e-3, mode="auto")
     eng2.push_to_convergence()
     batches = _update_batches(spark, extras["n_vertices"])
     with timed("q_ppr_updates"):
@@ -153,11 +159,13 @@ def main() -> None:
         eng2.metrics.updates_applied / timings["q_ppr_updates"], 4
     )
     extras["ppr_updates_mode"] = eng2._resolved_mode()
+    extras["ppr_updates_n_sources"] = n_sources
 
-    # df-mode dynamic updates (the 100 TB fallback path) for comparison
+    # df-mode dynamic updates (the 100 TB fallback path), single source as
+    # in round 1, fewer batches (each is ~10s of distributed dataflow)
     eng3 = PPREngine(g, [1], eps=1e-3, mode="df", steps_per_job=STEPS_PER_JOB)
     eng3.push_to_convergence()
-    batches_df = _update_batches(spark, extras["n_vertices"], seed=7)
+    batches_df = _update_batches(spark, extras["n_vertices"], seed=7)[:3]
     with timed("q_ppr_updates_df"):
         for b in batches_df:
             eng3.apply_updates(b)

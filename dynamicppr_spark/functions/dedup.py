@@ -1,17 +1,20 @@
-"""Deduplication operators over ``documents`` — exact, MinHash+LSH,
-SimHash, n-gram Jaccard (training-data pipeline primitives).
+"""Deduplication operators over ``documents`` — exact, MinHash+LSH (+
+cluster consolidation), SimHash, n-gram Jaccard (training-data pipeline
+primitives).
 
-Exact and n-gram Jaccard are pure built-in compositions with exact DuckDB
-SQL oracles. MinHash and SimHash use md5 (identical across engines) as the
-hash family, so MinHash is also SQL-oracle-checkable; SimHash packs bits
-JVM-side via conv() and is checked rows-only.
+Every operator here uses the md5 hash family (identical across engines),
+so all of them — including SimHash and the LSH duplicate CLUSTERS — have
+exact DuckDB SQL oracles in __spark_entry__.py.
 
-Scale notes: the shingle explode is the big intermediate (docs x shingles);
-it shuffles once on shingle for the inverted index. LSH banding reduces
-the candidate-pair join from O(n^2) to near-linear: only docs sharing a
-band-signature bucket are paired. Hot buckets (boilerplate shingles) are
-capped deterministically to bound the pair blowup — the cap is logged,
-never silent.
+Scale notes: the shingle explode is the big intermediate (docs x
+shingles); it shuffles once on shingle for the inverted index. LSH
+banding reduces the candidate-pair join from O(n^2) to near-linear: only
+docs sharing a band-signature bucket are paired, and buckets are capped
+at ``max_bucket``. The raw Jaccard inverted index drops shingles above a
+document-frequency cap (``max_df``) before its self-join — one
+boilerplate shingle shared by 10^6 docs would otherwise emit ~10^12
+pairs into one reducer; the dropped set is observable via
+``hot_shingles`` (never a silent cap).
 """
 
 from __future__ import annotations

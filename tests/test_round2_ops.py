@@ -155,6 +155,22 @@ def test_lsh_dup_clusters_transitive_chain(spark):
     assert 20 not in {r.doc_id for r in out}  # singletons excluded
 
 
+def test_rotation_unavailable_fallback(spark, make_graph, monkeypatch):
+    """CheckpointRotator must degrade to plain eager localCheckpoint when
+    the private JVM registry is unavailable (Spark Connect etc.) —
+    correctness unchanged, blocks just wait for GC."""
+    import dynamicppr_spark.rddtrack as RT
+
+    monkeypatch.setattr(RT, "persistent_rdd_ids", lambda sc: None)
+    edges, n = fixtures.cycle_graph(10)
+    g = make_graph(edges, n)
+    got = np.zeros(n)
+    for r in pagerank(g, tol=1e-8, max_iter=200).collect():
+        got[r.vid] = r.score
+    want, _ = oracle.pagerank(edges, n)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
 def test_sketch_accuracy_vs_exact(spark):
     import __spark_entry__ as E
 

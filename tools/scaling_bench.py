@@ -1,10 +1,20 @@
-"""Scaling-efficiency evidence (BASELINE.md protocol): run bench.py at
-two parallelism levels (local[8] = N, local[32] = 4N — sandbox stand-in
-for N vs 4N executors per the driver instruction), compute
-efficiency = throughput(32) / (4 * throughput(8)) per kernel, and write
-BENCH/BASELINE.md.
+"""Scaling-efficiency evidence + factor experiments (one harness).
 
-Usage: python tools/scaling_bench.py [--sf-dir DIR] [--low 8] [--high 32]
+Primary protocol (BASELINE.json cluster-size criterion, sandbox stand-in
+per driver instruction): run bench.py at two parallelism levels on the
+same input and report efficiency = throughput(high) / (factor *
+throughput(low)), target >= 0.8.
+
+    python tools/scaling_bench.py                       # local[8] vs local[32]
+    python tools/scaling_bench.py --protocol local-cluster
+        # separate executor JVMs: local-cluster[2,4,4096] vs [8,4,4096]
+
+Factor experiments (replaces the round-1 one-off exp_scaling*.py scripts;
+their conclusions live in BENCH/BASELINE.md):
+
+    python tools/scaling_bench.py --factor aqe=true --no-write
+    python tools/scaling_bench.py --factor sources=128 --no-write
+    python tools/scaling_bench.py --factor steps_per_job=4 --no-write
 """
 
 from __future__ import annotations
@@ -20,18 +30,31 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 KERNEL_THROUGHPUTS = {
-    "PPR supersteps/sec (K1)": "ppr_supersteps_per_sec",
+    "PPR supersteps/sec, distributed (K1)": "ppr_supersteps_per_sec",
+    "PPR supersteps/sec, broadcast-CSR (K1)": "ppr_bcsr_supersteps_per_sec",
     "PageRank supersteps/sec (K3)": "pagerank_supersteps_per_sec",
-    "edge-updates-applied/sec (K2)": "edge_updates_per_sec",
+    "edge-updates/sec, 32-source auto (K2)": "edge_updates_per_sec",
+    "edge-updates/sec, distributed df (K2)": "edge_updates_per_sec_df",
+}
+
+FACTOR_ENV = {
+    "aqe": "BENCH_AQE",
+    "sources": "BENCH_PPR_SOURCES",
+    "steps_per_job": "BENCH_STEPS_PER_JOB",
+    "pr_steps_per_job": "BENCH_PR_STEPS_PER_JOB",
+    "update_batches": "BENCH_UPDATE_BATCHES",
+    "updates_per_batch": "BENCH_UPDATES_PER_BATCH",
 }
 
 
-def run_bench(cpus: int, sf_dir: str) -> dict:
+def run_bench(master_expr: str, cpus: int, sf_dir: str, extra_env: dict) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
+    env["SPARK_GRAFT_MASTER"] = master_expr
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env.setdefault("BENCH_AQE", "false")  # fixed-size supersteps: AQE's
     # per-stage re-planning is serial driver time
+    env.update(extra_env)
     t0 = time.time()
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
@@ -44,43 +67,94 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     res = json.loads(line)
     res["_wall"] = time.time() - t0
+    res["_master"] = master_expr
     return res
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    )
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
+    ap.add_argument(
+        "--protocol", choices=["local", "local-cluster"], default="local",
+        help="local = threads in one JVM; local-cluster = separate "
+        "executor JVMs (N/4-executor x 4-core layout)",
+    )
+    ap.add_argument(
+        "--factor", action="append", default=[],
+        metavar="NAME=VALUE",
+        help=f"bench factor override, one of {sorted(FACTOR_ENV)}",
+    )
+    ap.add_argument("--no-write", action="store_true",
+                    help="print JSON only; do not rewrite BENCH/BASELINE.md")
+    ap.add_argument("--only", choices=["low", "high"],
+                    help="run just one level and dump its JSON to --out")
+    ap.add_argument("--out", help="JSON dump path for --only")
+    ap.add_argument("--assemble", nargs=2, metavar=("LO_JSON", "HI_JSON"),
+                    help="skip running; build BASELINE.md from two dumps")
     args = ap.parse_args()
     factor = args.high / args.low
 
-    print(f"bench @ local[{args.low}] ...", file=sys.stderr)
-    lo = run_bench(args.low, args.sf_dir)
-    print(f"bench @ local[{args.high}] ...", file=sys.stderr)
-    hi = run_bench(args.high, args.sf_dir)
+    extra_env = {}
+    for f in args.factor:
+        name, _, val = f.partition("=")
+        extra_env[FACTOR_ENV[name]] = val
+
+    def master(cpus: int) -> str:
+        if args.protocol == "local-cluster":
+            return f"local-cluster[{max(1, cpus // 4)},4,4096]"
+        return f"local[{cpus}]"
+
+    if args.only:
+        cpus = args.low if args.only == "low" else args.high
+        res = run_bench(master(cpus), cpus, args.sf_dir, extra_env)
+        payload = json.dumps(res)
+        if args.out:
+            Path(args.out).write_text(payload)
+        print(payload)
+        return
+    if args.assemble:
+        lo = json.loads(Path(args.assemble[0]).read_text())
+        hi = json.loads(Path(args.assemble[1]).read_text())
+    else:
+        print(f"bench @ {master(args.low)} ...", file=sys.stderr)
+        lo = run_bench(master(args.low), args.low, args.sf_dir, extra_env)
+        print(f"bench @ {master(args.high)} ...", file=sys.stderr)
+        hi = run_bench(master(args.high), args.high, args.sf_dir, extra_env)
+
+    effs = {}
+    for label, key in KERNEL_THROUGHPUTS.items():
+        tl, th = lo.get(key, 0.0), hi.get(key, 0.0)
+        effs[key] = round(th / (factor * tl), 3) if tl else 0.0
+
+    if args.no_write:
+        print(json.dumps({"efficiency": effs, "low": lo, "high": hi}))
+        return
 
     lines = [
-        "# BENCH — measured baseline + scaling efficiency",
+        "# BENCH — measured baseline + scaling efficiency (round 2)",
         "",
         f"Input: `{args.sf_dir}` (sf={lo['sf']}), identical code/data at",
-        f"`local[{args.low}]` (N) vs `local[{args.high}]` (4N) —",
+        f"`{master(args.low)}` (N) vs `{master(args.high)}` (4N) —",
         "sandbox stand-in for N vs 4N executors (no real cluster; per",
         "driver instruction). efficiency = throughput(4N) / "
         f"({factor:.0f} x throughput(N)); target >= 0.8 for the",
         "cluster-size criterion in BASELINE.json.",
         "",
         f"Graph: {lo.get('n_vertices')} vertices, {lo.get('n_edges')} edges;",
-        f"shuffle partitions: {lo['shuffle_partitions']} (N) / {hi['shuffle_partitions']} (4N).",
+        f"shuffle partitions: {lo['shuffle_partitions']} (N) / "
+        f"{hi['shuffle_partitions']} (4N).",
         "",
         "| kernel | throughput @N | throughput @4N | efficiency |",
         "|---|---|---|---|",
     ]
-    effs = {}
     for label, key in KERNEL_THROUGHPUTS.items():
         tl, th = lo.get(key, 0.0), hi.get(key, 0.0)
         eff = th / (factor * tl) if tl else 0.0
-        effs[key] = round(eff, 3)
         lines.append(f"| {label} | {tl:.3f} | {th:.3f} | **{eff:.3f}** |")
     lines += [
         "",
@@ -88,35 +162,47 @@ def main() -> None:
         "|---|---|---|---|",
     ]
     for q in lo["queries"]:
-        a, b = lo["queries"][q], hi["queries"][q]
+        a, b = lo["queries"][q], hi["queries"].get(q, 0.0)
         lines.append(f"| {q} | {a:.2f} | {b:.2f} | {a/b if b else 0:.2f}x |")
     lines += [
         "",
-        "## Methodology & bottleneck analysis (measured, round 1)",
+        "## Methodology & bottleneck analysis (measured)",
         "",
-        "Config: DataFrame-scatter mode, 32-source batched PPR queries (the",
-        "reference's batched-query workload), per-superstep lineage",
-        "truncation with explicit checkpoint rotation, AQE off in the",
-        "fixed-size kernel loops, 64 shuffle partitions at both levels.",
-        "Chosen by factor experiments (tools/exp_scaling*.py): shuffle dir on",
-        "tmpfs, shuffle compression off, bigger heap, local-cluster",
-        "(separate executor JVMs), CSR/Arrow kernel mode, and 1/32/128-source",
-        "loads were each measured at both parallelism levels; the config",
-        "above maximized both absolute throughput and efficiency.",
+        "Workloads: 32-source batched PPR (the reference's batched-query",
+        "model) for both the static kernels and the update stream; updates",
+        "are 200-edge batches applied to all 32 maintained sources.",
+        "`q_ppr_updates` runs the engine's auto mode (broadcast-CSR local",
+        "push, operators/local_push.py — the reference-parity in-memory",
+        "path, size-gated); `q_ppr_updates_df` is the distributed",
+        "DataFrame path that remains beyond the gate (the 100 TB path).",
+        "AQE is off in the fixed-size kernel loops (per-stage re-planning",
+        "is serial driver time); lineage is truncated every superstep with",
+        "checkpoint rotation; 64 shuffle partitions at both levels.",
         "",
-        "Why kernel efficiency tops out near ~0.5 on THIS box: the sandbox",
-        "stand-in shares ONE memory subsystem between the two \"cluster",
-        "sizes\". Per-task profile (Spark stages API): at local[32] a",
-        "superstep moves ~0.6 GB through the shuffle and per-task CPU time",
-        "inflates ~2x vs local[8] (single-socket DRAM bandwidth + allocator",
-        "contention in one JVM); CPU steal is 0 and 32 physical cores are",
-        "present, so this is hardware, not scheduling. On a real N -> 4N",
-        "EXECUTOR scale-up every executor adds its own DRAM channels, local",
-        "NVMe and JVM heap, which is precisely the resource that does not",
-        "quadruple inside one box. Operators that are not",
-        "bandwidth-bound DO scale here: edge-update application and triangle",
-        "counting speed up ~1.6x and TPC-H-style aggregation ~1.7x at 4x",
-        "cores (see the per-query table).",
+        "Round-1 factor study (consolidated into --factor flags here):",
+        "tmpfs shuffle dir HURT, shuffle compression off HURT, separate",
+        "executor JVMs (local-cluster) HURT at this data size (netty",
+        "serialization dominates), bigger heap and bigger graphs were",
+        "neutral, DataFrame scatter beat the Arrow/CSR cogroup mode.",
+        "",
+        "Honest read of the table above: the >=0.8 efficiency criterion is",
+        "NOT met on this stand-in, and the direct reason is measured, not",
+        "asserted. A Spark-free numpy triad probe (tools/membw_probe.py,",
+        "barrier-synchronized processes, BENCH/membw.json) shows this",
+        "box's aggregate DRAM bandwidth grows only ~1.9x from 8 to 32",
+        "workers (53.6 -> 100.8 GB/s, max over repeated runs) — i.e. the",
+        "HARDWARE ceiling for any bandwidth-bound kernel's 8->32 scaling",
+        "efficiency on one box is ~0.47. The distributed PPR kernel's",
+        "measured 0.5+ efficiency sits AT that envelope; the",
+        "broadcast-CSR kernels (pure per-source numpy sweeps, zero Spark",
+        "overhead) are flat-to-negative for the same reason — 8",
+        "concurrent sweeps already saturate the memory subsystem. On a",
+        "real N -> 4N EXECUTOR scale-up each node adds its own DRAM",
+        "channels, which is exactly the resource that does not quadruple",
+        "here. Serial overheads did shrink vs round 1: supersteps/sec",
+        "improved at BOTH levels (PPR 0.133 -> 0.145 @N and 0.259 ->",
+        "0.306 @4N; PageRank 0.738 -> 0.925 @N), so the residual gap is",
+        "the shared-memory ceiling, not driver floor.",
         "",
         "Raw JSON:",
         "```json",
