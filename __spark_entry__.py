@@ -271,18 +271,40 @@ PPR_FIXED_SWEEPS = 10
 LPA_FIXED_ITERS = 5
 
 
+def _ranked_top20(df: DataFrame) -> DataFrame:
+    """Rank by (score desc, vid asc) and keep the top 20 — WITHOUT a
+    global single-partition window over the full score table: a
+    distributed `orderBy().limit(20)` (TakeOrderedAndProject — per
+    partition top-20 then a 20-row driver merge) selects the survivors,
+    and only those 20 rows pass through the rank window. Identical output
+    to ranking everything first; survives a 100x scale-up."""
+    topk = df.orderBy(F.desc("score"), F.asc("vid")).limit(20)
+    w = Window.orderBy(F.desc("score"), F.asc("vid"))
+    return topk.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
 def _q_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank (tol=0, 8 iters) — ranked on the ROUNDED
     score so ordering is identical to the unrolled DuckDB SQL oracle."""
     from dynamicppr_spark.operators.pagerank import pagerank
 
     g = _cooccur_graph(spark, sf_dir)
-    w = Window.orderBy(F.desc("score"), F.asc("vid"))
-    return (
+    return _ranked_top20(
         pagerank(g, tol=0.0, max_iter=PR_FIXED_ITERS)
         .select("vid", F.round("score", 6).alias("score"))
-        .withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 20)
+    )
+
+
+def _q_pagerank_local_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same fixed-iteration PageRank computed by the GATED LOCAL kernel
+    (operators/pagerank.py::pagerank_local) — shares the df path's
+    unrolled DuckDB oracle, pinning the two modes to identical scores."""
+    from dynamicppr_spark.operators.pagerank import pagerank
+
+    g = _cooccur_graph(spark, sf_dir)
+    return _ranked_top20(
+        pagerank(g, tol=0.0, max_iter=PR_FIXED_ITERS, mode="local")
+        .select("vid", F.round("score", 6).alias("score"))
     )
 
 
@@ -297,12 +319,9 @@ def _q_ppr_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         g, [int(src)], eps=0.0, max_supersteps=PPR_FIXED_SWEEPS, mode="df"
     )
     eng.push_to_convergence()
-    w = Window.orderBy(F.desc("score"), F.asc("vid"))
-    return (
+    return _ranked_top20(
         eng.scores()
         .select("source", "vid", F.round("score", 6).alias("score"))
-        .withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 20)
     )
 
 
@@ -356,12 +375,9 @@ def _q_weighted_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
     ).withColumn("w", F.col("w").cast("double"))
     g = LinkGraph(edges, num_partitions=16)
-    w = Window.orderBy(F.desc("score"), F.asc("vid"))
-    return (
+    return _ranked_top20(
         pagerank(g, tol=0.0, max_iter=PR_FIXED_ITERS)
         .select("vid", F.round("score", 6).alias("score"))
-        .withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 20)
     )
 
 
@@ -443,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (recursive CTE for CC, unrolled iterations for PR/PPR/LPA);
         # free-running convergence + 1e-6/exact gates live in pytest
         "pagerank_top20": _q_pagerank_top20,
+        "pagerank_local_top20": _q_pagerank_local_top20,
         "weighted_pagerank_top20": _q_weighted_pagerank_top20,
         "ppr_top20": _q_ppr_top20,
         "component_sizes": _q_component_sizes,
@@ -930,6 +947,7 @@ FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
 GROUP BY label, pos""",
         # ---- graph kernels (fixed-iteration unrolls / recursive CTEs)
         "pagerank_top20": _pagerank_sql(PR_FIXED_ITERS),
+        "pagerank_local_top20": _pagerank_sql(PR_FIXED_ITERS),
         "weighted_pagerank_top20": _weighted_pagerank_sql(PR_FIXED_ITERS),
         "ppr_top20": _ppr_sql(PPR_FIXED_SWEEPS),
         "lpa_label_sizes": _lpa_sql(LPA_FIXED_ITERS),

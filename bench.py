@@ -4,8 +4,14 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
 Headline metrics (BASELINE.md):
   - ppr_supersteps_per_sec : K1 synchronous push supersteps/sec
-  - edge_updates_per_sec   : K2 edge-updates-applied/sec (3 batches x 200)
+  - edge_updates_per_sec   : K2 edge-updates-applied/sec
   - plus wall seconds per query in "queries"
+
+Repeats (round-3): the iterative-kernel queries run BENCH_REPEATS times
+(default 3) — "queries" carries the MEDIAN wall seconds and
+"queries_spread" the min/max/n per query, because this box is a noisy
+shared tenant (single-shot deltas under ~2x are not evidence; see
+BENCH/BASELINE.md). Derived throughputs use the median.
 
 Scaling-efficiency protocol (BASELINE.md): run this same script twice,
 SPARK_GRAFT_CPUS=8 and =32, and compare throughput — tools/scaling_bench.py
@@ -16,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -41,6 +48,7 @@ PPR_SUPERSTEPS = int(os.environ.get("BENCH_PPR_SUPERSTEPS", "15"))
 PR_ITERS = int(os.environ.get("BENCH_PR_ITERS", "15"))
 N_UPDATE_BATCHES = int(os.environ.get("BENCH_UPDATE_BATCHES", "8"))
 UPDATES_PER_BATCH = int(os.environ.get("BENCH_UPDATES_PER_BATCH", "200"))
+REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 # supersteps composed into one Spark job while state is small (superstep.py):
 # wins on small-state kernels (PageRank rank table); the 32-source PPR state
 # is large enough that per-job overhead is no longer the bottleneck there
@@ -48,10 +56,10 @@ STEPS_PER_JOB = int(os.environ.get("BENCH_STEPS_PER_JOB", "1"))
 PR_STEPS_PER_JOB = int(os.environ.get("BENCH_PR_STEPS_PER_JOB", "4"))
 
 
-def _update_batches(spark, vmax: int, seed: int = 42):
+def _update_batches(spark, vmax: int, seed: int = 42, n_batches=None):
     rng = np.random.default_rng(seed)
     out = []
-    for b in range(N_UPDATE_BATCHES):
+    for b in range(n_batches or N_UPDATE_BATCHES):
         src = rng.integers(0, vmax, UPDATES_PER_BATCH)
         dst = rng.integers(0, vmax, UPDATES_PER_BATCH)
         ops = np.where(rng.random(UPDATES_PER_BATCH) < 0.8, "+", "-")
@@ -84,9 +92,11 @@ def main() -> None:
         extra_confs=extra,
     )
     timings: dict[str, float] = {}
+    spread: dict[str, dict] = {}
     extras: dict[str, float] = {}
 
     def timed(name):
+        """Single-shot timer (ETL / one-pass queries)."""
         class _T:
             def __enter__(self):
                 self.t = time.time()
@@ -96,21 +106,65 @@ def main() -> None:
 
         return _T()
 
+    def repeated(name, fn, n=REPEATS):
+        """Run ``fn`` n times; record median wall (+ spread) and return
+        the per-run results list. fn() may return a dict of extra metrics;
+        the run at the median wall supplies them."""
+        walls, results = [], []
+        for _ in range(max(1, n)):
+            t = time.time()
+            results.append(fn() or {})
+            walls.append(time.time() - t)
+        order = sorted(range(len(walls)), key=lambda i: walls[i])
+        med_i = order[len(order) // 2] if len(order) % 2 else order[len(order) // 2 - 1]
+        timings[name] = round(statistics.median(walls), 3)
+        spread[name] = {
+            "min": round(min(walls), 3),
+            "max": round(max(walls), 3),
+            "n": len(walls),
+        }
+        return results[med_i], timings[name]
+
     # -------- graph build (ETL path: extraction + dedup + partitioning)
+    clones = int(os.environ.get("BENCH_GRAPH_CLONES", "1"))
     with timed("q_graph_build"):
         edges = part_cooccurrence_edges(spark, SF_DIR, directed_both_ways=True)
+        if clones > 1:
+            # scaling-protocol knob: k disjoint offset copies of the graph
+            # multiply per-superstep WORK by k without changing structure
+            # or iteration counts — used to amortize the serial per-job
+            # floor when measuring N-vs-4N efficiency (BENCH/BASELINE.md)
+            stride = (
+                edges.agg(
+                    F.greatest(F.max("src"), F.max("dst"))
+                ).collect()[0][0] + 1
+            )
+            edges = edges.withColumn(
+                "c", F.explode(F.array(*[F.lit(i) for i in range(clones)]))
+            ).select(
+                (F.col("src") + F.col("c") * F.lit(stride)).alias("src"),
+                (F.col("dst") + F.col("c") * F.lit(stride)).alias("dst"),
+            )
         g = LinkGraph(edges, num_partitions=parts)
         n_edges = g.edges.count()
         _ = g.scatter_edges.count()  # materialize the hot-loop edge side
     extras["n_edges"] = n_edges
     extras["n_vertices"] = g.num_vertices
+    extras["graph_clones"] = clones
 
     # -------- K3 PageRank: fixed supersteps -> supersteps/sec
-    with timed("q_pagerank"):
+    def _run_pr():
         pagerank(g, tol=0.0, max_iter=PR_ITERS, steps_per_job=PR_STEPS_PER_JOB)
-    extras["pagerank_supersteps_per_sec"] = round(
-        PR_ITERS / timings["q_pagerank"], 4
-    )
+
+    _, med = repeated("q_pagerank", _run_pr)
+    extras["pagerank_supersteps_per_sec"] = round(PR_ITERS / med, 4)
+
+    # gated local-mode K3 (same arbitration as PPR's bcsr path)
+    def _run_pr_local():
+        pagerank(g, tol=0.0, max_iter=PR_ITERS, mode="local")
+
+    _, med = repeated("q_pagerank_local", _run_pr_local)
+    extras["pagerank_local_supersteps_per_sec"] = round(PR_ITERS / med, 4)
 
     # -------- K1 static PPR (multi-source batched queries, K8):
     # fixed supersteps -> supersteps/sec. 32 sources amortize the fixed
@@ -122,26 +176,29 @@ def main() -> None:
             F.desc("outdeg"), F.asc("src")
         ).limit(n_sources).collect()
     ]
-    with timed("q_ppr_static"):
+
+    def _run_static():
         eng = PPREngine(
             g, top, eps=0.0, max_supersteps=PPR_SUPERSTEPS,
             steps_per_job=STEPS_PER_JOB,
         )
         eng.push_to_convergence()
-    extras["ppr_supersteps_per_sec"] = round(
-        eng.metrics.supersteps / timings["q_ppr_static"], 4
-    )
+        return {"steps": eng.metrics.supersteps}
+
+    res, med = repeated("q_ppr_static", _run_static)
+    extras["ppr_supersteps_per_sec"] = round(res["steps"] / med, 4)
     extras["ppr_n_sources"] = n_sources
 
     # -------- K1/K8 static PPR, broadcast-CSR mode (reference-parity
     # in-memory push; operators/local_push.py) — same work as q_ppr_static
-    with timed("q_ppr_static_bcsr"):
-        engb = PPREngine(g, top, eps=0.0, max_supersteps=PPR_SUPERSTEPS,
-                         mode="bcsr")
+    def _run_static_bcsr():
+        engb = PPREngine(
+            g, top, eps=0.0, max_supersteps=PPR_SUPERSTEPS, mode="bcsr"
+        )
         engb.push_to_convergence()
-    extras["ppr_bcsr_supersteps_per_sec"] = round(
-        PPR_SUPERSTEPS / timings["q_ppr_static_bcsr"], 4
-    )
+
+    _, med = repeated("q_ppr_static_bcsr", _run_static_bcsr)
+    extras["ppr_bcsr_supersteps_per_sec"] = round(PPR_SUPERSTEPS / med, 4)
 
     # -------- K2 dynamic updates -> edge-updates-applied/sec
     # The maintained workload is the reference's batched-query model: 32
@@ -149,29 +206,46 @@ def main() -> None:
     # update stream. mode='auto' resolves to broadcast-CSR at this scale
     # (per-source-parallel local push; falls back to the distributed path
     # beyond the executor-memory gate).
+    # one engine per mode, converged once OUTSIDE the repeated window; each
+    # repeat applies a fresh batch stream to the EVOLVING maintained state
+    # (the realistic update-stream regime) and times only the update window
     eng2 = PPREngine(g, top, eps=1e-3, mode="auto")
     eng2.push_to_convergence()
-    batches = _update_batches(spark, extras["n_vertices"])
-    with timed("q_ppr_updates"):
+    seeds = iter(range(42, 42 + 10))
+
+    def _run_updates_auto():
+        batches = _update_batches(spark, extras["n_vertices"], seed=next(seeds))
+        before = eng2.metrics.updates_applied
+        t = time.time()
         for b in batches:
             eng2.apply_updates(b)
-    extras["edge_updates_per_sec"] = round(
-        eng2.metrics.updates_applied / timings["q_ppr_updates"], 4
-    )
+        wall = time.time() - t
+        return {"ups": (eng2.metrics.updates_applied - before) / wall}
+
+    res, med = repeated("q_ppr_updates", _run_updates_auto)
+    extras["edge_updates_per_sec"] = round(res["ups"], 4)
     extras["ppr_updates_mode"] = eng2._resolved_mode()
     extras["ppr_updates_n_sources"] = n_sources
 
     # df-mode dynamic updates (the 100 TB fallback path), single source as
-    # in round 1, fewer batches (each is ~10s of distributed dataflow)
+    # in round 1, fewer batches (each is distributed dataflow)
     eng3 = PPREngine(g, [1], eps=1e-3, mode="df", steps_per_job=STEPS_PER_JOB)
     eng3.push_to_convergence()
-    batches_df = _update_batches(spark, extras["n_vertices"], seed=7)[:3]
-    with timed("q_ppr_updates_df"):
+    seeds_df = iter(range(7, 17))
+
+    def _run_updates_df():
+        batches_df = _update_batches(
+            spark, extras["n_vertices"], seed=next(seeds_df), n_batches=3
+        )
+        before = eng3.metrics.updates_applied
+        t = time.time()
         for b in batches_df:
             eng3.apply_updates(b)
-    extras["edge_updates_per_sec_df"] = round(
-        eng3.metrics.updates_applied / timings["q_ppr_updates_df"], 4
-    )
+        wall = time.time() - t
+        return {"ups": (eng3.metrics.updates_applied - before) / wall}
+
+    res, med = repeated("q_ppr_updates_df", _run_updates_df)
+    extras["edge_updates_per_sec_df"] = round(res["ups"], 4)
 
     # -------- K6 triangles
     with timed("q_triangles"):
@@ -207,6 +281,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_spread": spread,
+                "repeats": REPEATS,
                 "sf": sf,
                 "cpus": CPUS,
                 "shuffle_partitions": parts,

@@ -23,6 +23,10 @@ from pyspark.sql import DataFrame, functions as F
 
 from dynamicppr_spark.functions.text import shingle_table
 
+# salt width for the skew-proof LSH bucket cap (see minhash_lsh_pairs):
+# per-bucket reducer work is bounded by _CAP_SALTS x max_bucket ids
+_CAP_SALTS = 64
+
 
 def hot_shingles(
     docs: DataFrame, col: str = "text", k: int = 3, max_df: int = 10_000
@@ -164,6 +168,15 @@ def minhash_lsh_pairs(
     sharing any band signature become candidates. Buckets larger than
     ``max_bucket`` are truncated to their ``max_bucket`` smallest doc_ids
     (deterministic; callers should log the count — no silent global drop).
+
+    The truncation is a SALTED two-level aggregation, not a window: a
+    ``row_number`` over (band, bsig) would sort each hot bucket in a
+    single task (the round-2 skew point). Level 1 takes the per-salt
+    smallest ``max_bucket`` ids (map-side combined, every task bounded by
+    its salt slice); level 2 merges ``_CAP_SALTS`` arrays of at most
+    ``max_bucket`` ids — O(salts x max_bucket) per bucket regardless of
+    how hot the bucket is. Identical output to the window formulation
+    (the DuckDB oracle keeps its row_number form).
     """
     rows = num_hashes // bands
     sig = minhash_signatures(docs, col=col, num_hashes=num_hashes, k=k)
@@ -189,11 +202,23 @@ def minhash_lsh_pairs(
             )
         ).alias("x"),
     ).select("doc_id", F.col("x.band").alias("band"), F.col("x.bsig").alias("bsig"))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("band", "bsig").orderBy("doc_id")
-    capped = banded.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= max_bucket
+    lvl1 = (
+        banded.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(_CAP_SALTS)))
+        .groupBy("band", "bsig", "salt")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list("doc_id")), 1, max_bucket
+            ).alias("ids")
+        )
+    )
+    capped = (
+        lvl1.groupBy("band", "bsig")
+        .agg(
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("ids"))), 1, max_bucket
+            ).alias("ids")
+        )
+        .select("band", "bsig", F.explode("ids").alias("doc_id"))
     )
     a = capped.select("band", "bsig", F.col("doc_id").alias("doc_a"))
     b = capped.select("band", "bsig", F.col("doc_id").alias("doc_b"))

@@ -51,6 +51,8 @@ Scale notes (100 TB / 1e9-edge design intent):
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -62,6 +64,43 @@ CSR_SCHEMA = (
     "part int, vmin bigint, vmax bigint, "
     "srcs array<bigint>, indptr array<bigint>, dsts array<bigint>"
 )
+
+
+@dataclass
+class PreparedBatch:
+    """Driver-collected per-batch context (all pandas, all O(batch·deg)):
+    ``batch`` raw rows (op,src,dst[,w]); ``old_e`` the touched srcs' old
+    out-edge rows; ``deg_old`` their old out-weight sums (src, d_old).
+    Produced by one gated collect job (PPREngine._collect_batch_context);
+    feeding these back as 1-partition local frames removes every big-table
+    scan except the vertex probe from the tagged delta job."""
+
+    batch: "pd.DataFrame"
+    old_e: "pd.DataFrame"
+    deg_old: "pd.DataFrame"
+
+
+@dataclass
+class UpdateContext:
+    """Lazy per-batch frames handed to ``with_updates(extra_frames=...)``
+    callbacks, all derived from the batch's single checkpointed O(E) scan:
+    ``old_e``/``new_e`` are the touched srcs' old/new out-edge rows
+    (src, dst[, w]); ``deg`` is (src, d_old, d_new) out-weight sums.
+    On the PreparedBatch fast path, ``old_csr``/``new_csr`` additionally
+    carry the driver-side LocalCSR minis over the touched srcs' edges —
+    the PPR engine feeds them straight into the bcsr path's vectorized
+    ``build_adjustment`` instead of expressing the delta algebra as ~10
+    Spark join branches (each branch reference scheduled its own task
+    wave; the stage storm was the round-3 profile's residual cost)."""
+
+    touched: "DataFrame"
+    pairs: "DataFrame"
+    ins: "DataFrame"
+    old_e: "DataFrame"
+    new_e: "DataFrame"
+    deg: "DataFrame"
+    old_csr: object | None = None
+    new_csr: object | None = None
 
 
 def _build_csr_block(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -106,6 +145,12 @@ class LinkGraph:
     """
 
     compact_threshold_rows: int = 100_000
+    # update batches at or below this row count are deduped on the DRIVER
+    # (one O(batch) collect replaces 4-5 tiny shuffle stages and their AQE
+    # barriers per batch — the round-3 profile showed those stage barriers,
+    # not data volume, dominate per-batch latency); larger batches keep the
+    # fully distributed prep
+    driver_batch_max_rows: int = 1_000_000
 
     def __init__(
         self,
@@ -168,7 +213,13 @@ class LinkGraph:
                 .unionByName(base.select(F.col("dst").alias("vid")))
                 .distinct()
             )
-        v = v.repartition(self.num_partitions, "vid")
+        # size-adaptive width (no explicit N => AQE coalesces the exchange
+        # to the advisory partition size): a 20k-row vertex table lands in
+        # 1-2 partitions instead of num_partitions mostly-empty ones —
+        # every per-batch O(V) probe scan schedules one task per partition,
+        # so fixed-width small tables are pure scheduling overhead; a 10^9
+        # -row table still fans out
+        v = v.repartition(F.col("vid"))
         if persist:
             v = v.persist(StorageLevel.MEMORY_AND_DISK)
             self._owned_caches.append(v)
@@ -176,6 +227,13 @@ class LinkGraph:
 
         self._num_vertices: int | None = None
         self._num_edges: int | None = None
+        self.extra_slices: dict[str, DataFrame] = {}
+        self.extra_metrics: dict[str, float] = {}
+        self.last_batch_rows: int | None = None
+        # set by kernels once the persisted scatter/degree bases are
+        # materialized; children inherit it (their overlays are already
+        # eagerly checkpointed) so per-batch pushes skip re-materialization
+        self._push_ready = False
         # derived-table overlays: (base_df, dirty_src_df|None, override_df|None)
         self._deg: tuple[DataFrame, DataFrame | None, DataFrame | None] | None = None
         self._scat: tuple[DataFrame, DataFrame | None, DataFrame | None] | None = None
@@ -206,11 +264,19 @@ class LinkGraph:
 
     def _ckpt(self, df: DataFrame, chain: bool = False) -> DataFrame:
         """Eagerly localCheckpoint a (tiny) delta frame, tracking its blocks
-        so release() can free them. No-op when persist=False."""
+        so release() can free them. No-op when persist=False.
+
+        The leaf is rebuilt WITHOUT the checkpoint's origin-plan linkage
+        (rddtrack.detach_plan_origin): each batch's tagged plan embeds the
+        previous batch's slices, so an undetached origin chain grows by one
+        full batch plan per update and Catalyst's stats walk over it
+        doubles per batch (the round-3 soak regression)."""
         if not self._persist:
             return df
+        from dynamicppr_spark.rddtrack import detach_plan_origin
+
         with track_new_rdds(self.spark.sparkContext) as created:
-            out = df.localCheckpoint(eager=True)
+            out = detach_plan_origin(df.localCheckpoint(eager=True))
         (self._chain_rdds if chain else self._own_rdds).update(created.ids)
         return out
 
@@ -241,7 +307,8 @@ class LinkGraph:
                     F.count("*").alias("outdeg"),
                     F.sum(self._edge_w(self.edges)).cast("double").alias("wout"),
                 )
-                .repartition(self.num_partitions, "src")
+                # size-adaptive width (see vertices comment in __init__)
+                .repartition(F.col("src"))
             )
             if self._persist:
                 d = d.persist(StorageLevel.MEMORY_AND_DISK)
@@ -351,7 +418,12 @@ class LinkGraph:
 
     # -------------------------------------------------------- dynamic (E9)
     def with_updates(
-        self, batch: DataFrame, batch_rows: int | None = None
+        self,
+        batch: DataFrame,
+        batch_rows: int | None = None,
+        extra_frames=None,
+        prepared: PreparedBatch | None = None,
+        extra_observe: dict | None = None,
     ) -> "LinkGraph":
         """Apply one batch of edge updates, returning a new LinkGraph.
 
@@ -365,27 +437,78 @@ class LinkGraph:
         computed and localCheckpoint'ed; the persisted base is reused
         untouched. Auto-compacts once accumulated deltas exceed
         ``compact_threshold_rows``.
+
+        Per-batch job budget (round-3 redesign): exactly TWO eager jobs and
+        ONE O(E) scan. The touched srcs' old out-edge rows (``old_e``) are
+        extracted with a single broadcast-probe pass over the composed edge
+        set and checkpointed; every other delta (new_e, degree/scatter
+        overrides, vertex increment, dangling evidence) derives from that
+        tiny leaf — Spark has no CSE across DataFrame references, so
+        without the intermediate leaf each reference would re-scan E.
+
+        ``extra_frames``: optional callable ``ctx -> dict[name, DataFrame]``
+        letting callers (the PPR engine's K2 adjustment) evaluate their own
+        per-batch delta frames INSIDE the same tagged checkpoint job. ``ctx``
+        exposes lazy frames ``touched`` (src), ``pairs`` (src,dst), ``ins``,
+        ``old_e`` / ``new_e`` (touched srcs' old/new out-edge rows) and
+        ``deg`` (src, d_old, d_new out-weight sums). Returned frames must
+        use a subset of columns {source, vid, src, dst, w, val}; the
+        checkpointed slices are exposed as ``child.extra_slices[name]``.
+
+        ``prepared`` (PreparedBatch): driver-collected batch context; the
+        O(E) old_e extraction and the degree probe are then replaced with
+        1-partition local frames, leaving the vertex probe as the tagged
+        job's only big-table scan. ``extra_observe``: dict name -> aggregate
+        Column evaluated on the tagged union DURING its checkpoint job
+        (requires ``persist=True``); values appear in
+        ``child.extra_metrics`` — the internal nv/dang/braw counts ride the
+        same observation, so the per-batch count collect job is gone too.
         """
         p = self.num_partitions
-        wsel = [F.coalesce(F.col("w"), F.lit(1.0)).cast("double").alias("w")] if (
-            self.weighted
-        ) else []
+        sc = self.spark.sparkContext
         if self.weighted and "w" not in batch.columns:
             batch = batch.withColumn("w", F.lit(1.0))
-        ins = (
-            batch.filter(F.col("op") == "+")
-            .select(
+        if prepared is not None:
+            prep = self._prep_pdf(prepared.batch)
+        else:
+            prep = self._prep_batch_driver(batch)
+        if prep is not None:
+            pairs, ins, touched, endpoints = (
+                prep["pairs"], prep["ins"], prep["touched"], prep["endpoints"]
+            )
+            if batch_rows is None:
+                batch_rows = prep["n_raw"]
+        else:
+            wsel = [
+                F.coalesce(F.col("w"), F.lit(1.0)).cast("double").alias("w")
+            ] if self.weighted else []
+            ins = (
+                batch.filter(F.col("op") == "+")
+                .select(
+                    F.col("src").cast("bigint").alias("src"),
+                    F.col("dst").cast("bigint").alias("dst"),
+                    *wsel,
+                )
+                .filter(F.col("src") != F.col("dst"))
+            )
+            if self.weighted:
+                # duplicate '+' of the same pair in one batch:
+                # deterministic, order-free rule = keep the MAX weight
+                # (applied identically by local_push.apply_batch_local so
+                # df and bcsr modes agree)
+                ins = ins.groupBy("src", "dst").agg(F.max("w").alias("w"))
+            else:
+                ins = ins.dropDuplicates(["src", "dst"])
+            pairs = batch.select(
                 F.col("src").cast("bigint").alias("src"),
                 F.col("dst").cast("bigint").alias("dst"),
-                *wsel,
+            ).dropDuplicates(["src", "dst"])
+            touched = pairs.select("src").distinct()
+            endpoints = (
+                pairs.select(F.col("src").alias("vid"))
+                .unionByName(pairs.select(F.col("dst").alias("vid")))
+                .distinct()
             )
-            .filter(F.col("src") != F.col("dst"))
-            .dropDuplicates(["src", "dst"])
-        )
-        pairs = batch.select(
-            F.col("src").cast("bigint").alias("src"),
-            F.col("dst").cast("bigint").alias("dst"),
-        ).dropDuplicates(["src", "dst"])
 
         child = object.__new__(LinkGraph)
         child.spark = self.spark
@@ -403,25 +526,69 @@ class LinkGraph:
         child._csr = None
         child._sym = None
         child._dangling_known = None
+        child.extra_slices = {}
+        child.last_batch_rows = None
         child.compact_threshold_rows = self.compact_threshold_rows
-        if batch_rows is None:
-            batch_rows = batch.count()
-        child._delta_rows = self._delta_rows + int(batch_rows)
+        child._push_ready = (
+            getattr(self, "_push_ready", False)
+            and self._deg is not None
+            and self._scat is not None
+        )
 
-        # ---- build EVERY per-batch delta lazily, evaluate them all in ONE
-        # tagged-union eager checkpoint job (each delta as its own branch),
-        # then slice by kind. Separate eager checkpoints per delta were
-        # ~6 driver-synchronized jobs per batch — the dominant per-batch
-        # cost once the O(E) copies were gone.
+        # ---- the batch's ONE O(E) scan: touched srcs' old out-edge rows,
+        # eagerly checkpointed into a tiny leaf. Every downstream delta
+        # (new_e, degree/scatter overrides, the caller's extra frames)
+        # reads the leaf — Spark has no CSE across DataFrame references,
+        # so each reference to a lazy old_e would re-scan the edge mass.
+        import os as _os
+        import time as _time
+
+        _prof = _os.environ.get("DYNPPR_PROFILE") == "1"
+        _pt = _time.time()
+        olde_ids: set[int] = set()
+        eschema = "src bigint, dst bigint" + (
+            ", w double" if self.weighted else ""
+        )
+        mini = None
+        if prepared is not None:
+            # old_e already collected by the caller: 1-partition local
+            # frame, no E scan / checkpoint job here — and everything that
+            # depends only on the touched srcs' edges is derived on the
+            # driver via the tested bcsr numpy machinery (one local frame
+            # each instead of a fan of Spark join branches)
+            old_e = self._mk_local(prepared.old_e, eschema)
+            mini = self._mini_update_csrs(prepared, prep)
+            new_e = self._mk_local(mini["new_e_pd"], eschema)
+        else:
+            old_e = self.edges.join(F.broadcast(touched), "src", "left_semi")
+            if self._persist:
+                with track_new_rdds(sc) as created:
+                    old_e = old_e.repartition(4).localCheckpoint(eager=True)
+                olde_ids = created.ids
+            # touched srcs' NEW out-edge rows == child.edges semi-joined on
+            # touched, derived without another E scan: (old_e \ pairs) ∪ ins
+            new_e = old_e.join(
+                F.broadcast(pairs), ["src", "dst"], "left_anti"
+            ).unionByName(ins)
+        if _prof:
+            print(f"[graph-prof] old_e: {_time.time() - _pt:.2f}s", flush=True)
+            _pt = _time.time()
+        ew = F.col("w") if self.weighted else F.lit(1.0)
+
+        # ---- build EVERY remaining per-batch delta lazily, evaluate them
+        # all in ONE tagged-union eager checkpoint job (each delta as its
+        # own branch), then slice by kind. Separate eager checkpoints per
+        # delta were ~6 driver-synchronized jobs per batch.
         TAG_COLS = [
-            "kind", "src", "dst", "w", "vid", "outdeg", "wout", "inv_outdeg"
+            "kind", "src", "dst", "w", "vid", "outdeg", "wout",
+            "inv_outdeg", "source", "val",
         ]
 
         def tag(df: DataFrame, kind: str, **cols) -> DataFrame:
             types = {
                 "src": "bigint", "dst": "bigint", "w": "double",
                 "vid": "bigint", "outdeg": "bigint", "wout": "double",
-                "inv_outdeg": "double",
+                "inv_outdeg": "double", "source": "bigint", "val": "double",
             }
             sel = [F.lit(kind).alias("kind")]
             for c in TAG_COLS[1:]:
@@ -444,12 +611,6 @@ class LinkGraph:
             else None
         )
         new_plus = ins if plus_kept is None else plus_kept.unionByName(ins)
-        # composed child edge set, expressed from the LAZY deltas (the
-        # checkpointed slices are assigned to the child afterwards)
-        child_edges = self._base_edges.join(
-            F.broadcast(new_minus), ["src", "dst"], "left_anti"
-        ).unionByName(new_plus)
-        ew = F.col("w") if self.weighted else F.lit(1.0)
 
         frames = [
             tag(new_minus, "minus", src=F.col("src"), dst=F.col("dst")),
@@ -458,20 +619,41 @@ class LinkGraph:
                 **({"w": F.col("w")} if self.weighted else {}),
             ),
         ]
+        if batch_rows is None:
+            # raw batch rows counted inside the same job (braw slice) —
+            # replaces a separate batch.count() driver round-trip
+            frames.append(
+                tag(
+                    batch.select(
+                        F.col("src").cast("bigint").alias("src"),
+                        F.col("dst").cast("bigint").alias("dst"),
+                    ),
+                    "braw", src=F.col("src"), dst=F.col("dst"),
+                )
+            )
 
         # vertex universe increment: old ∪ new endpoints (never shrinks —
-        # explicit or isolated-by-deletion vertices are preserved)
-        endpoints = (
-            pairs.select(F.col("src").alias("vid"))
-            .unionByName(pairs.select(F.col("dst").alias("vid")))
-            .distinct()
-        )
+        # explicit or isolated-by-deletion vertices are preserved). The
+        # anti-join form costs one O(V) broadcast-probe scan, no shuffle
+        # (exceptAll would shuffle both sides)
         known = self._vertices.join(F.broadcast(endpoints), "vid", "left_semi")
-        new_vids = endpoints.exceptAll(known)
+        new_vids = endpoints.join(F.broadcast(known), "vid", "left_anti")
         frames.append(tag(new_vids, "nv", vid=F.col("vid")))
 
-        touched = pairs.select("src").distinct()
-        recomputed = None
+        if extra_frames is not None and self._deg is None and mini is None:
+            _ = self.out_degrees  # ensure the degree base exists for ctx.deg
+        # new out-degrees of touched srcs (only srcs with >=1 out-edge
+        # appear) — a local frame on the prepared path, else a pure
+        # aggregation of the tiny new_e (no E scan either way)
+        if mini is not None:
+            recomputed = self._mk_local(
+                mini["dego_pd"], "src bigint, outdeg bigint, wout double"
+            )
+        else:
+            recomputed = new_e.groupBy("src").agg(
+                F.count("*").alias("outdeg"),
+                F.sum(ew).cast("double").alias("wout"),
+            )
         if self._deg is not None:
             deg_base, deg_dirty, deg_override = self._deg
             new_dirty = (
@@ -480,14 +662,6 @@ class LinkGraph:
                 else touched
             )
             frames.append(tag(new_dirty, "dirty", src=F.col("src")))
-            recomputed = (
-                child_edges.join(F.broadcast(touched), "src", "left_semi")
-                .groupBy("src")
-                .agg(
-                    F.count("*").alias("outdeg"),
-                    F.sum(ew).cast("double").alias("wout"),
-                )
-            )
             kept = (
                 deg_override.join(F.broadcast(touched), "src", "left_anti")
                 if deg_override is not None
@@ -504,13 +678,17 @@ class LinkGraph:
             )
             if self._scat is not None:
                 s_base, s_dirty, s_override = self._scat
-                touched_scatter = (
-                    child_edges.join(F.broadcast(touched), "src", "left_semi")
-                    .join(recomputed, "src")
-                    .select(
+                if mini is not None:
+                    touched_scatter = self._mk_local(
+                        mini["scato_pd"],
+                        "src bigint, dst bigint, inv_outdeg double",
+                    )
+                else:
+                    touched_scatter = new_e.join(
+                        recomputed.select("src", "wout"), "src"
+                    ).select(
                         "src", "dst", (ew / F.col("wout")).alias("inv_outdeg")
                     )
-                )
                 s_kept = (
                     s_override.join(F.broadcast(touched), "src", "left_anti")
                     if s_override is not None
@@ -528,20 +706,62 @@ class LinkGraph:
                         inv_outdeg=F.col("inv_outdeg"),
                     )
                 )
-            # dangling evidence (only needed when the parent flag is False):
-            # touched srcs that lost all out-edges + new endpoints that are
-            # not insert srcs
-            if self._dangling_known is False:
+        # dangling evidence (only needed when the parent flag is False):
+        # touched srcs that lost all out-edges + new endpoints that are
+        # not insert srcs
+        if self._dangling_known is False:
+            if mini is not None:
+                lost_all = self._mk_local(mini["lost_pd"], "src bigint")
+            else:
                 lost_all = touched.join(
                     recomputed.select("src"), "src", "left_anti"
                 )
-                new_dang = new_vids.join(
-                    ins.select(F.col("src").alias("vid")).distinct(),
-                    "vid",
-                    "left_anti",
+            new_dang = new_vids.join(
+                ins.select(F.col("src").alias("vid")).distinct(),
+                "vid",
+                "left_anti",
+            )
+            frames.append(tag(lost_all, "dang", src=F.col("src")))
+            frames.append(tag(new_dang, "dang", vid=F.col("vid")))
+
+        extra_names: list[str] = []
+        if extra_frames is not None:
+            if mini is not None:
+                deg_ctx = self._mk_local(
+                    mini["deg_ctx_pd"],
+                    "src bigint, d_old double, d_new double",
                 )
-                frames.append(tag(lost_all, "dang", src=F.col("src")))
-                frames.append(tag(new_dang, "dang", vid=F.col("vid")))
+            else:
+                deg_ctx = (
+                    touched.join(
+                        self.out_degrees.select(
+                            "src", F.col("wout").alias("d_old")
+                        ),
+                        "src",
+                        "left",
+                    )
+                    .join(
+                        recomputed.select("src", F.col("wout").alias("d_new")),
+                        "src",
+                        "left",
+                    )
+                    .select(
+                        "src",
+                        F.coalesce("d_old", F.lit(0.0)).alias("d_old"),
+                        F.coalesce("d_new", F.lit(0.0)).alias("d_new"),
+                    )
+                )
+            ctx = UpdateContext(
+                touched=touched, pairs=pairs, ins=ins,
+                old_e=old_e, new_e=new_e, deg=deg_ctx,
+                old_csr=mini["old_csr"] if mini else None,
+                new_csr=mini["new_csr"] if mini else None,
+            )
+            for name, xdf in extra_frames(ctx).items():
+                extra_names.append(name)
+                frames.append(
+                    tag(xdf, "x_" + name, **{c: F.col(c) for c in xdf.columns})
+                )
 
         tagged = frames[0]
         for f in frames[1:]:
@@ -550,12 +770,54 @@ class LinkGraph:
         # kept-slice branches preserve their parent RDD's partitioning, so
         # without this the checkpointed RDD's partition count compounds
         # ~3x per batch (every later slice scan pays the task count)
-        tagged = child._ckpt(tagged.repartition(4))
-        # ONE eager job evaluated every delta
-        kind_counts = {
-            r["kind"]: r["count"]
-            for r in tagged.groupBy("kind").count().collect()
-        }
+        tagged = tagged.repartition(4)
+        # internal counts (+ caller metrics) are OBSERVED during the same
+        # eager checkpoint job — no separate count job per batch
+        kcount = lambda k: F.sum(  # noqa: E731
+            F.when(F.col("kind") == k, 1).otherwise(0)
+        )
+        obs_exprs = {"__nv": kcount("nv"), "__dang": kcount("dang"),
+                     "__braw": kcount("braw")}
+        obs_exprs.update(extra_observe or {})
+        child.extra_metrics = {}
+        if self._persist:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            tagged = child._ckpt(
+                tagged.observe(obs, *[c.alias(k) for k, c in obs_exprs.items()])
+            )
+            got = obs.get
+            kind_counts = {
+                "nv": int(got["__nv"] or 0),
+                "dang": int(got["__dang"] or 0),
+                "braw": int(got["__braw"] or 0),
+            }
+            if extra_observe:
+                child.extra_metrics = {
+                    k: got[k] for k in extra_observe
+                }
+        else:
+            # no eager action without persist: fall back to a count job
+            # (extra_observe unsupported here — engines always persist)
+            assert extra_observe is None, "extra_observe requires persist=True"
+            tagged = child._ckpt(tagged)
+            kind_counts = {
+                r["kind"]: r["count"]
+                for r in tagged.groupBy("kind").count().collect()
+            }
+        if _prof:
+            print(f"[graph-prof] tagged: {_time.time() - _pt:.2f}s", flush=True)
+        # old_e's leaf is fully consumed by the tagged checkpoint
+        unpersist_rdd_ids(sc, olde_ids)
+        if batch_rows is None:
+            batch_rows = int(kind_counts.get("braw", 0))
+        child._delta_rows = self._delta_rows + int(batch_rows)
+        child.last_batch_rows = int(batch_rows)
+        for name in extra_names:
+            child.extra_slices[name] = tagged.filter(
+                F.col("kind") == "x_" + name
+            )
 
         child._minus = tagged.filter(F.col("kind") == "minus").select("src", "dst")
         child._plus = tagged.filter(F.col("kind") == "plus").select(
@@ -595,7 +857,7 @@ class LinkGraph:
         # dangling flag maintenance (True is sticky-conservative — safe)
         if self._dangling_known is True:
             child._dangling_known = True
-        elif self._dangling_known is False and recomputed is not None:
+        elif self._dangling_known is False:
             child._dangling_known = kind_counts.get("dang", 0) > 0
 
         # --- CSR blocks: rebuild only touched hash partitions
@@ -623,9 +885,159 @@ class LinkGraph:
         if child._delta_rows >= child.compact_threshold_rows:
             compacted = child.compact()
             if compacted is not child:
+                # the caller may still need the extra slices / batch count;
+                # transfer them (and ownership of the blocks backing them)
+                # to the compacted graph before freeing the child
+                compacted.extra_slices = child.extra_slices
+                compacted.extra_metrics = child.extra_metrics
+                compacted.last_batch_rows = child.last_batch_rows
+                compacted._own_rdds |= child._own_rdds | child._chain_rdds
+                child._own_rdds = set()
+                child._chain_rdds = set()
                 child.release(keep=compacted)
             return compacted
         return child
+
+    def _mk_local(self, pdf2: "pd.DataFrame", schema: str) -> DataFrame:
+        """Small pandas frame -> few-partition local DataFrame.
+
+        NO ``coalesce(1)`` here: a coalesced parallelize inherits every
+        parent partition's preferred locations, and broadcasting it then
+        idles through spark.locality.wait escalation (~5s per broadcast —
+        measured round 3). Arrow createDataFrame already yields few
+        partitions for small frames."""
+        return self.spark.createDataFrame(pdf2, schema=schema)
+
+    def _mini_update_csrs(self, prepared: "PreparedBatch", prep: dict) -> dict:
+        """Driver-side derivation of everything that depends only on the
+        touched srcs' edges, via the SAME tested numpy machinery as the
+        bcsr path (build_local_csr / apply_batch_local): new out-edge rows,
+        degree + scatter overrides, (d_old, d_new), dangling evidence, and
+        the old/new mini CSRs themselves (for the engine's adjustment)."""
+        from dynamicppr_spark.operators.local_push import (
+            _flat_slices,
+            apply_batch_local,
+            build_local_csr,
+        )
+
+        bp = prepared.batch
+        old_pd = prepared.old_e
+        w_old = old_pd["w"].to_numpy(dtype=float) if self.weighted else None
+        old_csr = build_local_csr(
+            old_pd["src"].to_numpy(dtype="int64"),
+            old_pd["dst"].to_numpy(dtype="int64"),
+            w_old,
+        )
+        new_csr = apply_batch_local(
+            old_csr,
+            bp["op"].astype(str).tolist(),
+            bp["src"].to_numpy(dtype="int64"),
+            bp["dst"].to_numpy(dtype="int64"),
+            bp["w"].to_numpy(dtype=float) if self.weighted else None,
+        )
+        touched_ids = np.unique(
+            prep["touched_pd"]["src"].to_numpy(dtype="int64")
+        )
+        tp = new_csr.pos_of(touched_ids)
+        # tp < 0 only for srcs whose batch rows were all self-loops and
+        # that had no prior edges — genuinely degree-0
+        tpc = np.maximum(tp, 0)
+        outdeg_all = np.diff(new_csr.indptr)
+        outdeg = np.where(tp >= 0, outdeg_all[tpc], 0)
+        wout = np.where(tp >= 0, new_csr.wout[tpc], 0.0)
+        has = outdeg > 0
+        dego_pd = pd.DataFrame(
+            {"src": touched_ids[has], "outdeg": outdeg[has], "wout": wout[has]}
+        )
+        u_rep, flat = _flat_slices(new_csr.indptr, tp[has])
+        srcs = new_csr.vids[u_rep]
+        dsts = new_csr.vids[new_csr.dst_pos[flat]]
+        wnew = (
+            new_csr.w[flat] if new_csr.w is not None else np.ones(len(flat))
+        )
+        inv = wnew / new_csr.wout[u_rep]
+        new_e_pd = pd.DataFrame(
+            {"src": srcs, "dst": dsts,
+             **({"w": wnew} if self.weighted else {})}
+        )
+        scato_pd = pd.DataFrame({"src": srcs, "dst": dsts, "inv_outdeg": inv})
+        d_old = (
+            pd.Series(
+                prepared.deg_old["d_old"].to_numpy(dtype=float),
+                index=prepared.deg_old["src"].to_numpy(dtype="int64"),
+            )
+            .reindex(touched_ids)
+            .fillna(0.0)
+            .to_numpy()
+        )
+        deg_ctx_pd = pd.DataFrame(
+            {"src": touched_ids, "d_old": d_old, "d_new": wout}
+        )
+        lost_pd = pd.DataFrame({"src": touched_ids[~has]})
+        return {
+            "old_csr": old_csr,
+            "new_csr": new_csr,
+            "new_e_pd": new_e_pd,
+            "dego_pd": dego_pd,
+            "scato_pd": scato_pd,
+            "deg_ctx_pd": deg_ctx_pd,
+            "lost_pd": lost_pd,
+        }
+
+    def _prep_batch_driver(self, batch: DataFrame):
+        """Driver-side batch prep (gated by ``driver_batch_max_rows``):
+        returns 1-partition (pairs, ins, touched, endpoints, n_raw_rows)
+        or None when the batch exceeds the gate (distributed prep then
+        applies). O(batch) work and transfer only — exactly the regime the
+        reference handles on its single node; the distributed fallback
+        keeps the path correct for arbitrarily large batches."""
+        cap = self.driver_batch_max_rows
+        cols = ["op", "src", "dst"] + (["w"] if self.weighted else [])
+        pdf = batch.select(*cols).limit(cap + 1).toPandas()
+        if len(pdf) > cap:
+            return None
+        return self._prep_pdf(pdf)
+
+    def _prep_pdf(self, pdf: "pd.DataFrame"):
+        """Pandas half of the driver batch prep (shared with the
+        PreparedBatch path, which already holds the collected rows)."""
+        n_raw = len(pdf)
+        src = pdf["src"].astype("int64")
+        dst = pdf["dst"].astype("int64")
+        pairs_pd = pd.DataFrame({"src": src, "dst": dst}).drop_duplicates()
+        insm = (pdf["op"] == "+") & (src != dst)
+        if self.weighted:
+            w = pd.to_numeric(pdf["w"]).fillna(1.0).astype(float)
+            # duplicate '+' rule: keep the MAX weight (see distributed prep)
+            ins_pd = (
+                pd.DataFrame({"src": src[insm], "dst": dst[insm], "w": w[insm]})
+                .groupby(["src", "dst"], as_index=False)["w"]
+                .max()
+            )
+            ins_schema = "src bigint, dst bigint, w double"
+        else:
+            ins_pd = pd.DataFrame(
+                {"src": src[insm], "dst": dst[insm]}
+            ).drop_duplicates()
+            ins_schema = "src bigint, dst bigint"
+        touched_pd = pairs_pd[["src"]].drop_duplicates()
+        endpoints_pd = pd.DataFrame(
+            {"vid": pd.concat([pairs_pd["src"], pairs_pd["dst"]]).unique()}
+        )
+
+        def mk(p2, schema):
+            # no coalesce(1): see _mk_local (locality-wait stall)
+            return self.spark.createDataFrame(p2, schema=schema)
+
+        return {
+            "pairs": mk(pairs_pd, "src bigint, dst bigint"),
+            "ins": mk(ins_pd, ins_schema),
+            "touched": mk(touched_pd, "src bigint"),
+            "endpoints": mk(endpoints_pd, "vid bigint"),
+            "n_raw": n_raw,
+            "ins_pd": ins_pd,
+            "touched_pd": touched_pd,
+        }
 
     def compact(self) -> "LinkGraph":
         """Fold the delta overlay back into a fresh persisted base (one full
@@ -640,7 +1052,12 @@ class LinkGraph:
             weighted=self.weighted,
         )
         g._num_edges = g._base_edges.count()  # materialize before release
-        g._num_vertices = self._num_vertices
+        # materialize the vertex cache too: its lazy plan still references
+        # the predecessor chain's delta localCheckpoint blocks (nv slices),
+        # which the caller frees via release(keep=g) right after compaction —
+        # an unmaterialized cache would recompute from freed blocks and die
+        # with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on the next vertex scan
+        g._num_vertices = g._vertices.count()
         g._dangling_known = self._dangling_known
         g.compact_threshold_rows = self.compact_threshold_rows
         return g

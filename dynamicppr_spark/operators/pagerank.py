@@ -25,6 +25,59 @@ from dynamicppr_spark.graph import LinkGraph
 from dynamicppr_spark.operators.superstep import SuperstepResult, run_superstep_loop
 
 
+def pagerank_local(
+    graph: LinkGraph,
+    alpha: float = 0.15,
+    tol: float = 1e-6,
+    max_iter: int = 200,
+    max_local_edges: int = 32_000_000,
+) -> DataFrame:
+    """Gated local-mode K3 (round-3): the same power iteration as the
+    distributed path, run as one vectorized numpy loop over the collected
+    LocalCSR (identical semantics: teleport alpha, uniform dangling
+    redistribution, stop at max|rank'-rank| <= tol; exactness gated in
+    tests against both the oracle and the df path).
+
+    Same regime split as PPR's broadcast-CSR mode: a single rank VECTOR
+    has no per-source parallel axis, so when the CSR fits in memory the
+    honest fast path is one dense sweep per iteration (~ms per 10^6
+    edges) instead of a distributed shuffle per iteration; beyond the
+    ``max_local_edges`` gate the caller uses the df path (mode='auto'
+    arbitrates). Raises ValueError past the gate."""
+    import numpy as np
+    import pandas as pd
+
+    from dynamicppr_spark.operators.local_push import csr_from_graph
+
+    csr = csr_from_graph(graph, max_edges=max_local_edges)
+    n = csr.n
+    if n == 0:
+        return graph.spark.createDataFrame([], "vid bigint, score double")
+    has_out = csr.wout > 0.0
+    src_per_edge = np.repeat(np.arange(n), np.diff(csr.indptr))
+    inv_wout = np.zeros(n)
+    inv_wout[has_out] = 1.0 / csr.wout[has_out]
+    frac = (
+        inv_wout[src_per_edge]
+        if csr.w is None
+        else csr.w * inv_wout[src_per_edge]
+    )
+    r = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        contrib = np.bincount(
+            csr.dst_pos, weights=r[src_per_edge] * frac, minlength=n
+        )
+        dm = float(r[~has_out].sum())
+        new = alpha / n + (1.0 - alpha) * (dm / n + contrib)
+        delta = float(np.abs(new - r).max())
+        r = new
+        if delta <= tol:
+            break
+    return graph.spark.createDataFrame(
+        pd.DataFrame({"vid": csr.vids, "score": r})
+    )
+
+
 def pagerank(
     graph: LinkGraph,
     alpha: float = 0.15,
@@ -35,8 +88,14 @@ def pagerank(
     return_result: bool = False,
     steps_per_job: int = 1,
     init_scores: DataFrame | None = None,
+    mode: str = "df",
 ) -> DataFrame | SuperstepResult:
     """PageRank scores as DataFrame (vid: bigint, score: double).
+
+    ``mode``: 'df' (distributed, default — the 100 TB path), 'local'
+    (gated in-memory numpy sweep, ``pagerank_local``), or 'auto' (local
+    when the graph fits the gate, else df — the same arbitration as
+    PPREngine's bcsr mode).
 
     ``steps_per_job > 1`` composes iterations into one Spark job each
     (superstep.py docstring). Composition requires a dangling-free graph
@@ -52,6 +111,15 @@ def pagerank(
     graph delta leaves most scores near-converged and the loop exits in a
     few iterations instead of O(log(1/tol)).
     """
+    if mode == "auto":
+        mode = "local" if graph.num_edges <= 32_000_000 else "df"
+    if mode == "local":
+        if init_scores is not None or return_result or ckpt_dir is not None:
+            raise ValueError(
+                "mode='local' supports plain score computation only; use "
+                "mode='df' for warm starts / checkpointing"
+            )
+        return pagerank_local(graph, alpha=alpha, tol=tol, max_iter=max_iter)
     n = graph.num_vertices
     scatter = graph.scatter_edges  # (src, dst, inv_outdeg), partitioned on src
     scatter.count()  # pre-materialize: checkpoint rotation must not capture it

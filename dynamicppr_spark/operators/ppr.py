@@ -48,7 +48,6 @@ import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Observation, Window, functions as F
-from pyspark.storagelevel import StorageLevel
 
 from dynamicppr_spark.graph import LinkGraph
 from dynamicppr_spark.rddtrack import track_new_rdds, unpersist_rdd_ids
@@ -123,9 +122,10 @@ class PPREngine:
         # stop composing once the state outgrows this (plan fan-out cost)
         self.compose_max_rows = 2_000_000
         self.metrics = PPRMetrics()
+        self._state_rows = len(self.sources)
         self.state: DataFrame = self.spark.createDataFrame(
             [(s, s, 1.0, 0.0) for s in self.sources], schema=STATE_SCHEMA
-        ).repartition(graph.num_partitions, "vid")
+        ).repartition(self._state_parts(len(self.sources)), "vid")
         self._converged = False
         self._dangling_possible = True
         self._per_source_freeze = True
@@ -143,6 +143,8 @@ class PPREngine:
         self._local_csr = None          # driver-side LocalCSR mirror
         self._bc_csr = None             # its broadcast handle
         self._pending_adjust = None     # broadcast AdjustmentPlan (K2)
+        self._sources_have_out = None   # cached dangling-sources probe
+        self._last_durable = 0
 
     @property
     def graph(self) -> LinkGraph:
@@ -249,8 +251,13 @@ class PPREngine:
                 # probe in place — zero shuffle/sort of the edge side per
                 # superstep. Falls back to a shuffled join when the state
                 # grows past the broadcast threshold (see push loop).
-                active = F.broadcast(active)
-            pushed = active.join(scatter, active.vid == scatter.src).select(
+                # NOTE: hint only this join's build side — a broadcast hint
+                # on the LEFT of the dangling left-anti join below is
+                # unsupported (build-left) and would just warn per superstep
+                probe = F.broadcast(active)
+            else:
+                probe = active
+            pushed = probe.join(scatter, probe.vid == scatter.src).select(
                 "source",
                 F.col("dst").alias("vid"),
                 (
@@ -328,49 +335,102 @@ class PPREngine:
         incrementally-maintained graph flag — O(V) computed once, O(batch)
         per update), only the sources themselves can still be dangling
         (they may lie outside the universe) — a tiny broadcast-semi scan
-        of the persisted degree table, not an O(state) join per call."""
+        of the persisted degree table, computed ONCE per engine: the
+        universe only grows, and any in-universe transition (a source
+        losing its last out-edge) flips the maintained graph flag to True
+        before this fallback is consulted."""
         if self.graph.maybe_has_dangling_vertex():
             return True
-        uniq = sorted(set(self.sources))
-        src_df = self.spark.createDataFrame([(s,) for s in uniq], "src bigint")
-        with_out = (
-            self.graph.out_degrees.join(F.broadcast(src_df), "src", "left_semi")
-            .count()
-        )
-        return with_out < len(uniq)
+        if self._sources_have_out is None:
+            uniq = sorted(set(self.sources))
+            src_df = self.spark.createDataFrame(
+                [(s,) for s in uniq], "src bigint"
+            )
+            with_out = (
+                self.graph.out_degrees
+                .join(F.broadcast(src_df), "src", "left_semi")
+                .count()
+            )
+            self._sources_have_out = with_out == len(uniq)
+        return not self._sources_have_out
 
-    def push_to_convergence(self) -> PPRMetrics:
-        """Run synchronous supersteps until every source has ||r||_1 <= eps."""
-        if self._resolved_mode() == "bcsr":
-            return self._push_local()
-        t0 = time.time()
-        base = self.metrics.supersteps
-        # pre-materialize graph caches so checkpoint rotation (below) never
-        # captures them as superstep state
-        if self.mode == "csr":
-            self.graph.csr_blocks().count()
+    def _state_parts(self, rows: int) -> int:
+        """Partition width for a state of ``rows`` rows: ~100k rows per
+        partition, floor 4, capped at the graph width. Every reference to
+        the state leaf schedules one task per partition, so a 20k-row
+        state spread over 64 partitions costs pure scheduling (the
+        round-3 profile's 672-task tagged stage); a 100M-row state still
+        widens to the full graph width."""
+        return max(4, min(self._graph.num_partitions, int(rows) // 100_000 + 1))
+
+    def _ckpt_with_l1(self, df: DataFrame, rotator):
+        """Checkpoint ``df`` with the per-source L1 (and row count)
+        observation FUSED into the same job — replaces the old separate
+        checkpoint + collect round trips. Returns (leaf, l1, rows)."""
+        import os as _os
+
+        if _os.environ.get("DYNPPR_NO_OBS") == "1":  # diagnostic fallback
+            leaf = rotator.checkpoint(df)
+            l1 = self._per_source_l1(leaf)
+            rows = leaf.count()
+            self._state_rows = rows
+            return leaf, l1, rows
+        obs_exprs = self._l1_observation()
+        obs_exprs["state_rows"] = F.count(F.lit(1))
+        obs = Observation()
+        leaf = rotator.checkpoint(
+            df.observe(obs, *[c.alias(k) for k, c in obs_exprs.items()])
+        )
+        got = obs.get
+        rows = int(got.get("state_rows") or 0)
+        self._state_rows = rows
+        if self._per_source_freeze:
+            l1 = {s: float(got[f"l1_{s}"] or 0.0) for s in self.sources}
         else:
-            self.graph.scatter_edges.count()
-            self.graph.out_degrees.count()
+            g_l1 = float(got["l1_all"] or 0.0)
+            l1 = {s: g_l1 for s in self.sources}
+        return leaf, l1, rows
+
+    def _prepare_push(self) -> None:
+        """Materialize the graph's hot-loop caches once per graph VERSION
+        LINE (updated children inherit readiness — their overlays are
+        already eagerly checkpointed) so checkpoint rotation never captures
+        them as superstep state, and create the engine rotator."""
+        g = self.graph
+        if not getattr(g, "_push_ready", False):
+            if self.mode == "csr":
+                g.csr_blocks().count()
+            else:
+                g.scatter_edges.count()
+                g.out_degrees.count()
+            g._push_ready = True
         from dynamicppr_spark.operators.superstep import CheckpointRotator
 
         if not hasattr(self, "_rotator"):
             self._rotator = CheckpointRotator(self.spark)
-        rotator = self._rotator  # engine-scoped: rotates across batches too
-        # lineage truncated EVERY superstep (state is referenced 3x per
-        # push: absorb + scatter + merge — a lazy plan would triple per
-        # iteration; see operators/superstep.py for the same rationale);
-        # the rotator unpersists the previous superstep's blocks
-        state = rotator.checkpoint(self.state)
-        self._dangling_possible = self._check_dangling_possible(state)
         self._per_source_freeze = len(self.sources) <= 32
-        obs_exprs = self._l1_observation()
-        obs_exprs["state_rows"] = F.count(F.lit(1))
-        l1 = self._per_source_l1(state)
+
+    def _df_push_loop(
+        self,
+        state: DataFrame,
+        l1: dict[int, float],
+        rotator,
+        *,
+        state_rows: int,
+        base: int,
+        durable: bool,
+    ) -> tuple[DataFrame, int, dict[int, float]]:
+        """Superstep loop over an already-checkpointed state leaf with its
+        per-source L1 known (both come from one ``_ckpt_with_l1`` job).
+        Lineage is truncated EVERY superstep — the state is referenced 3x
+        per push (absorb + scatter + merge), so a lazy plan would triple
+        per iteration (see operators/superstep.py). ``durable=False``
+        suppresses mid-loop parquet checkpoints (used by the K2 delta
+        re-push, whose partial state must never be resumable as a full
+        state). Returns (state, steps, l1)."""
         live = [s for s in self.sources if l1[s] > self.eps]
         steps = 0
-        state_rows = len(self.sources)
-        last_durable = 0
+        self._last_durable = 0
         while live and steps < self.max_supersteps:
             # compose k supersteps into ONE job while the state is small —
             # the per-job serial floor (Catalyst+py4j+scheduling+barrier),
@@ -397,38 +457,59 @@ class PPREngine:
                         new_state = new_state.localCheckpoint(eager=False)
                     inter_ids |= created.ids
             steps += k
-            obs = Observation()
-            state = rotator.checkpoint(
-                new_state.observe(
-                    obs, *[c.alias(kk) for kk, c in obs_exprs.items()]
+            import os as _os
+
+            if _os.environ.get("DYNPPR_PROFILE") == "1":
+                _t0 = time.time()
+                _n = new_state.count()
+                _t1 = time.time()
+                state, l1, state_rows = self._ckpt_with_l1(new_state, rotator)
+                print(
+                    f"[loop-prof] step {steps}: count={_t1 - _t0:.2f}s "
+                    f"ckpt={time.time() - _t1:.2f}s rows={state_rows}",
+                    flush=True,
                 )
-            )
-            got = obs.get
-            unpersist_rdd_ids(self.spark.sparkContext, inter_ids)
-            state_rows = int(got.get("state_rows") or 0)
-            self._broadcast_frontier = state_rows <= self.broadcast_max_rows
-            if self._per_source_freeze:
-                l1 = {s: float(got[f"l1_{s}"] or 0.0) for s in self.sources}
             else:
-                g_l1 = float(got["l1_all"] or 0.0)
-                l1 = {s: g_l1 for s in self.sources}
+                state, l1, state_rows = self._ckpt_with_l1(new_state, rotator)
+            unpersist_rdd_ids(self.spark.sparkContext, inter_ids)
+            self._broadcast_frontier = state_rows <= self.broadcast_max_rows
             live = [s for s in self.sources if l1[s] > self.eps]
             self.metrics.history.append(
                 {"superstep": base + steps, "max_l1": max(l1.values())}
             )
-            if self.ckpt_dir is not None and steps - last_durable >= self.ckpt_every:
+            if (
+                durable
+                and self.ckpt_dir is not None
+                and steps - self._last_durable >= self.ckpt_every
+            ):
                 state = self._checkpoint(state, base + steps, l1)
-                last_durable = steps
+                self._last_durable = steps
+        return state, steps, l1
+
+    def push_to_convergence(self) -> PPRMetrics:
+        """Run synchronous supersteps until every source has ||r||_1 <= eps."""
+        if self._resolved_mode() == "bcsr":
+            return self._push_local()
+        t0 = time.time()
+        base = self.metrics.supersteps
+        self._prepare_push()
+        rotator = self._rotator  # engine-scoped: rotates across batches too
+        # initial checkpoint + per-source L1 in ONE fused job
+        state, l1, state_rows = self._ckpt_with_l1(self.state, rotator)
+        self._dangling_possible = self._check_dangling_possible(state)
+        state, steps, l1 = self._df_push_loop(
+            state, l1, rotator, state_rows=state_rows, base=base, durable=True
+        )
         wall = time.time() - t0
         self.state = state
-        self._converged = not live
+        self._converged = all(l1[s] <= self.eps for s in self.sources)
         self.metrics.supersteps = base + steps
         self.metrics.wall_seconds += wall
         # final durable checkpoint — unless this exact iteration was already
         # written inside the loop (overwriting it=N while the state plan
         # still lazily READS it=N would delete the files out from under the
         # scan)
-        if self.ckpt_dir is not None and steps != last_durable:
+        if self.ckpt_dir is not None and steps != self._last_durable:
             self.state = self._checkpoint(self.state, base + steps, l1)
         return self.metrics
 
@@ -499,6 +580,11 @@ class PPREngine:
                 return max(v1, v2)
 
         acc = self.spark.sparkContext.accumulator(0, _MaxParam())
+        # per-source convergence: each kernel group reports its own final
+        # ||r||_1; the max over sources is compared to eps (same semantics
+        # as the df path's per-source freeze — a sum over N sources could
+        # sit at ~N*eps with every source individually converged)
+        l1_acc = self.spark.sparkContext.accumulator(0.0, _MaxParam())
         kernel = make_push_kernel(
             self._bc_csr,
             self.alpha,
@@ -506,6 +592,7 @@ class PPREngine:
             self.max_supersteps,
             bc_adjust=self._pending_adjust,
             iter_accum=acc,
+            l1_accum=l1_acc,
         )
         obs = Observation()
         # pre-partition by source to exactly the group count: the groupBy
@@ -525,18 +612,27 @@ class PPREngine:
         )
         self.state = self._rotator.checkpoint(new_state)
         got = obs.get
-        l1_all = float(got.get("l1_all") or 0.0)
+        _ = float(got.get("l1_all") or 0.0)  # noqa: F841 — forces obs capture
+        # free the consumed adjustment broadcast (it is baked into the
+        # finished job; without this, long update streams accumulate one
+        # broadcast block per batch)
+        if self._pending_adjust is not None:
+            try:
+                self._pending_adjust.unpersist()
+            except Exception:  # noqa: BLE001
+                pass
         self._pending_adjust = None
         steps = int(acc.value)
-        self._converged = l1_all <= self.eps
+        max_l1 = float(l1_acc.value)
+        self._converged = max_l1 <= self.eps
         self.metrics.supersteps = base + steps
         self.metrics.history.append(
-            {"superstep": base + steps, "max_l1": l1_all}
+            {"superstep": base + steps, "max_l1": max_l1}
         )
         self.metrics.wall_seconds += time.time() - t0
         if self.ckpt_dir is not None:
             self.state = self._checkpoint(
-                self.state, base + steps, {s: l1_all for s in self.sources}
+                self.state, base + steps, {s: max_l1 for s in self.sources}
             )
         return self.metrics
 
@@ -589,6 +685,126 @@ class PPREngine:
         return self.metrics
 
     # -------------------------------------------------------------- dynamic
+    def _collect_batch_context(self, batch: DataFrame):
+        """ONE gated collect job gathering everything O(batch·deg) the K2
+        adjustment needs: the raw batch rows, the touched srcs' old
+        out-edges + out-weight sums, and the state reserves at touched
+        vertices. Returns (PreparedBatch, p_state pandas) or (None, None)
+        when any piece exceeds the driver gate — the fully distributed
+        formulation then applies (same algebra, more jobs)."""
+        import pandas as pd
+
+        from dynamicppr_spark.graph import PreparedBatch
+
+        g = self.graph
+        cap = g.driver_batch_max_rows
+        wcols = ["w"] if self._weighted else []
+        bsel = [
+            F.col("op").cast("string").alias("op"),
+            F.col("src").cast("bigint").alias("src"),
+            F.col("dst").cast("bigint").alias("dst"),
+        ] + [F.coalesce(F.col("w"), F.lit(1.0)).cast("double").alias("w")
+             for _ in wcols]
+        null_d = F.lit(None).cast("double")
+        null_l = F.lit(None).cast("bigint")
+        touched_b = batch.select(
+            F.col("src").cast("bigint").alias("src")
+        ).distinct()
+        # job 1 — ONE tagged-union collect: raw batch rows + touched srcs'
+        # degrees + state reserves at touched vids. The degree/state sides
+        # are small broadcast-probe scans; limit(cap+1) gates the whole
+        # thing (the expensive part of limit+broadcast measured in round 3
+        # was a coalesce(1) locality-wait stall, not the limit itself)
+        b_sel = batch.select(
+            F.lit("b").alias("kind"), *bsel,
+            null_l.alias("outdeg"), null_d.alias("d_old"),
+            null_l.alias("source"), null_d.alias("p"),
+        )
+        d_sel = g.out_degrees.join(
+            F.broadcast(touched_b), "src", "left_semi"
+        ).select(
+            F.lit("d").alias("kind"), F.lit(None).cast("string").alias("op"),
+            "src", null_l.alias("dst"),
+            *([null_d.alias("w")] if wcols else []),
+            F.col("outdeg").cast("bigint").alias("outdeg"),
+            F.col("wout").cast("double").alias("d_old"),
+            null_l.alias("source"), null_d.alias("p"),
+        )
+        p_sel = (
+            self.state.join(
+                F.broadcast(touched_b.withColumnRenamed("src", "vid")),
+                "vid", "left_semi",
+            )
+            .filter(F.col("reserve") != 0.0)
+            .select(
+                F.lit("p").alias("kind"),
+                F.lit(None).cast("string").alias("op"),
+                F.col("vid").alias("src"), null_l.alias("dst"),
+                *([null_d.alias("w")] if wcols else []),
+                null_l.alias("outdeg"), null_d.alias("d_old"),
+                "source", F.col("reserve").alias("p"),
+            )
+        )
+        bdp = b_sel.unionByName(d_sel).unionByName(p_sel).limit(cap + 1).toPandas()
+        if len(bdp) > cap:
+            return None, None
+        pdfb = bdp[bdp["kind"] == "b"][["op", "src", "dst"] + wcols].reset_index(
+            drop=True
+        )
+        d_pdf = bdp[bdp["kind"] == "d"][["src", "outdeg", "d_old"]]
+        p_pdf = bdp[bdp["kind"] == "p"][["source", "src", "p"]].reset_index(drop=True)
+        touched_ids = sorted(set(pdfb["src"].astype("int64").tolist()))
+        if not touched_ids:
+            return (
+                PreparedBatch(
+                    batch=pdfb,
+                    old_e=pd.DataFrame({"src": [], "dst": [], **({"w": []} if wcols else {})}),
+                    deg_old=pd.DataFrame({"src": [], "d_old": []}),
+                ),
+                pd.DataFrame({"source": [], "src": [], "p": []}),
+            )
+        n_edge_rows = int(d_pdf["outdeg"].sum()) if len(d_pdf) else 0
+        if n_edge_rows > cap:
+            return None, None
+        # job 2: the touched srcs' old out-edge rows (count pre-verified
+        # against the gate via the degree sums above)
+        tdf = self.spark.createDataFrame(
+            pd.DataFrame({"src": touched_ids}), schema="src bigint"
+        )
+        ecols = ["src", "dst"] + wcols
+        e_pdf = (
+            g.edges.join(F.broadcast(tdf), "src", "left_semi")
+            .select(*ecols)
+            .toPandas()
+        )
+        return (
+            PreparedBatch(
+                batch=pdfb,
+                old_e=e_pdf,
+                deg_old=d_pdf[["src", "d_old"]].reset_index(drop=True),
+            ),
+            p_pdf,
+        )
+
+    def _d0_observe_exprs(self) -> dict:
+        """Aggregates over the tagged-union checkpoint job that read the
+        initial delta state's per-source L1 and row count — replaces the
+        separate delta-checkpoint job."""
+        is_d0 = F.col("kind") == "x_d0"
+        a = F.when(is_d0, F.abs(F.col("val"))).otherwise(0.0)
+        if self._per_source_freeze:
+            exprs = {
+                f"l1_{s}": F.sum(
+                    F.when(is_d0 & (F.col("source") == s), F.abs(F.col("val")))
+                    .otherwise(0.0)
+                )
+                for s in self.sources
+            }
+        else:
+            exprs = {"l1_all": F.sum(a)}
+        exprs["d0_rows"] = F.sum(F.when(is_d0, 1).otherwise(0))
+        return exprs
+
     def apply_updates(self, batch: DataFrame) -> PPRMetrics:
         """K2: apply one batch of (op,src,dst[,w]) edge updates and re-push.
 
@@ -596,133 +812,281 @@ class PPREngine:
         graphs with W_u = out-weight sum (``wout``) in place of the
         out-degree and per-edge weight w in place of 1 — for unweighted
         graphs wout is the exact integer-valued out-degree, so the floats
-        are bit-identical to the unweighted formulation."""
+        are bit-identical to the unweighted formulation.
+
+        Distributed fast path (round-3 redesign) — per batch:
+          1. ``with_updates(extra_frames=...)`` evaluates the graph deltas
+             AND the K2 adjustment (initial delta residuals ``d0`` + the
+             reserve rescale factors) in its single tagged checkpoint job:
+             one O(E) scan, a few O(state) in-memory probes, two jobs total.
+          2. Push is LINEAR in (residual, reserve), and the frozen part of
+             the state carries zero residual — so the re-push runs on the
+             DELTA STATE ONLY (old residual rows folded into ``d0`` so no
+             eps-error accumulates across batches); supersteps shuffle
+             O(|delta|) rows, not O(|state|).
+          3. One final job merges the rescaled frozen reserves with the
+             converged delta. ~4-5 driver-synchronized jobs per batch
+             instead of the ~10 (several O(E)) of the round-2 path.
+        """
         if self._resolved_mode() == "bcsr":
             return self._apply_updates_bcsr(batch)
         t0 = time.time()
         wall_before = self.metrics.wall_seconds
         c = (1.0 - self.alpha) / self.alpha
-        n_updates = batch.count()
-        old, new = self.graph, self.graph.with_updates(batch, batch_rows=n_updates)
-        weighted = old.weighted
+        weighted = self._weighted
         ew = F.col("w") if weighted else F.lit(1.0)  # per-edge weight
         edge_key = ["src", "dst", "w"] if weighted else ["src", "dst"]
+        self._prepare_push()
+        state = self.state  # checkpointed leaf from the previous push
+        prepared, p_state = self._collect_batch_context(batch)
+        p_state_touched_ids = (
+            prepared.batch["src"].to_numpy(dtype="int64")
+            if prepared is not None
+            else None
+        )
 
-        touched = batch.select(
-            F.col("src").cast("bigint").alias("src")
-        ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
-        old_e = old.edges.join(F.broadcast(touched), "src", "left_semi")
-        new_e = new.edges.join(F.broadcast(touched), "src", "left_semi")
-        # weight changes on an existing pair appear in BOTH added (w_new)
-        # and removed (w_old) — the two dr terms then sum to c*p*Δw/W
-        added = new_e.join(old_e, edge_key, "left_anti")
-        removed = old_e.join(new_e, edge_key, "left_anti")
+        def _adjustment_frames(ctx):
+            """Evaluated INSIDE with_updates' tagged checkpoint job.
 
-        deg = (
-            touched.join(
-                old.out_degrees.select("src", F.col("wout").alias("d_old")),
-                "src",
-                "left",
-            )
-            .join(
-                new.out_degrees.select("src", F.col("wout").alias("d_new")),
-                "src",
-                "left",
-            )
-            .select(
-                "src",
-                F.coalesce("d_old", F.lit(0.0)).alias("d_old"),
-                F.coalesce("d_new", F.lit(0.0)).alias("d_new"),
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        # reserves of touched vertices, per source (p_u)
-        p_u = (
-            self.state.join(
-                touched.withColumnRenamed("src", "vid"), "vid", "left_semi"
-            )
-            .filter(F.col("reserve") != 0.0)
-            .select("source", F.col("vid").alias("src"), F.col("reserve").alias("p"))
-            .join(deg, "src")
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        normal = p_u.filter((F.col("d_old") > 0.0) & (F.col("d_new") > 0.0))
-        trans = p_u.filter((F.col("d_old") == 0.0) | (F.col("d_new") == 0.0))
+            d0 = old residuals ⊎ invariant-restoration deltas (module
+            docstring algebra); scale = per-touched-src reserve rescale.
 
-        # --- normal case: only changed edges, old-out-weight denominator
-        dr_added = added.join(normal, "src").select(
-            "source", F.col("dst").alias("vid"),
-            (F.lit(c) * F.col("p") * ew / F.col("d_old")).alias("dr"),
-        )
-        dr_removed = removed.join(normal, "src").select(
-            "source", F.col("dst").alias("vid"),
-            (-F.lit(c) * F.col("p") * ew / F.col("d_old")).alias("dr"),
-        )
-        dr_self = normal.select(
-            "source", F.col("src").alias("vid"),
-            (
-                -F.col("p") * (F.col("d_new") - F.col("d_old"))
-                / (F.col("d_old") * F.lit(self.alpha))
-            ).alias("dr"),
-        )
-        # --- dangling transitions: full recompute of u's contribution row
-        dr_t_old_edges = old_e.join(trans.filter(F.col("d_old") > 0.0), "src").select(
-            "source", F.col("dst").alias("vid"),
-            (-F.lit(c) * F.col("p") * ew / F.col("d_old")).alias("dr"),
-        )
-        dr_t_old_dang = trans.filter(F.col("d_old") == 0.0).select(
-            "source", F.col("src").alias("vid"), (-F.lit(c) * F.col("p")).alias("dr")
-        )
-        dr_t_new_edges = new_e.join(trans.filter(F.col("d_new") > 0.0), "src").select(
-            "source", F.col("dst").alias("vid"),
-            (F.lit(c) * F.col("p") * ew / F.col("d_new")).alias("dr"),
-        )
-        dr_t_new_dang = trans.filter(F.col("d_new") == 0.0).select(
-            "source", F.col("src").alias("vid"), (F.lit(c) * F.col("p")).alias("dr")
-        )
-        deltas = (
-            dr_added.unionByName(dr_removed)
-            .unionByName(dr_self)
-            .unionByName(dr_t_old_edges)
-            .unionByName(dr_t_old_dang)
-            .unionByName(dr_t_new_edges)
-            .unionByName(dr_t_new_dang)
-            .groupBy("source", "vid")
-            .agg(F.sum("dr").alias("dr"))
-        )
-        # --- reserve rescale for the normal case: pi'[u] = pi[u] * W'/W
-        scale = deg.filter((F.col("d_old") > 0.0) & (F.col("d_new") > 0.0)).select(
-            F.col("src").alias("vid"),
-            (F.col("d_new") / F.col("d_old")).alias("rscale"),
-        )
-        new_state = (
-            self.state.join(scale, "vid", "left")
-            .select(
-                "source", "vid", "residual",
-                (F.col("reserve") * F.coalesce("rscale", F.lit(1.0))).alias("reserve"),
+            FAST PATH (PreparedBatch available): the deltas are computed
+            on the driver by the bcsr path's tested vectorized
+            ``build_adjustment`` over the mini CSRs — dr[source, t] =
+            coef(u,t) * reserve(source, u) — and enter the tagged job as
+            two 1-partition local frames (plus the distributed state
+            residual fold-in). The fully distributed join formulation
+            below remains the fallback beyond the driver gate; parity is
+            pinned by test_update_fast_path_matches_distributed_fallback.
+            Duplicate (source, vid) rows in d0 are fine: the first
+            superstep's groupBy merges them (push is linear), and the
+            pre-merge L1 observation can only OVERestimate — never a
+            false early-stop."""
+            if p_state is not None and ctx.new_csr is not None:
+                import pandas as pd
+
+                from dynamicppr_spark.operators.local_push import (
+                    build_adjustment,
+                )
+
+                plan = build_adjustment(
+                    ctx.old_csr, ctx.new_csr, self.alpha,
+                    touched_vids=p_state_touched_ids,
+                )
+                vids = ctx.new_csr.vids
+                terms = pd.DataFrame(
+                    {
+                        "src": vids[plan.u_pos],
+                        "vid": vids[plan.t_pos],
+                        "coef": plan.coef,
+                    }
+                )
+                deltas_pd = terms.merge(p_state, on="src")
+                deltas_pd["val"] = deltas_pd["coef"] * deltas_pd["p"]
+                deltas_pd = (
+                    deltas_pd.groupby(["source", "vid"], as_index=False)["val"]
+                    .sum()
+                )
+                deltas_pd = deltas_pd[deltas_pd["val"] != 0.0]
+                scale_pd = pd.DataFrame(
+                    {"vid": vids[plan.ru_pos], "val": plan.factor}
+                )
+                dschema = "source bigint, vid bigint, val double"
+                d0 = (
+                    state.filter(F.col("residual") != 0.0)
+                    .select(
+                        "source", "vid", F.col("residual").alias("val")
+                    )
+                    .unionByName(
+                        self.spark.createDataFrame(
+                            deltas_pd[["source", "vid", "val"]],
+                            schema=dschema,
+                        )
+                    )
+                )
+                scale = self.spark.createDataFrame(
+                    scale_pd, schema="vid bigint, val double"
+                )
+                return {"d0": d0, "scale": scale}
+            p_u = (
+                state.join(
+                    ctx.touched.withColumnRenamed("src", "vid"),
+                    "vid", "left_semi",
+                )
+                .filter(F.col("reserve") != 0.0)
+                .select(
+                    "source",
+                    F.col("vid").alias("src"),
+                    F.col("reserve").alias("p"),
+                )
+                .join(ctx.deg, "src")
             )
-            .join(deltas, ["source", "vid"], "full_outer")
+            normal = p_u.filter((F.col("d_old") > 0.0) & (F.col("d_new") > 0.0))
+            trans = p_u.filter((F.col("d_old") == 0.0) | (F.col("d_new") == 0.0))
+            # weight changes on an existing pair appear in BOTH added
+            # (w_new) and removed (w_old) — the dr terms sum to c*p*Δw/W
+            added = ctx.new_e.join(ctx.old_e, edge_key, "left_anti")
+            removed = ctx.old_e.join(ctx.new_e, edge_key, "left_anti")
+            # --- normal case: only changed edges, old-out-weight denominator
+            dr_added = added.join(normal, "src").select(
+                "source", F.col("dst").alias("vid"),
+                (F.lit(c) * F.col("p") * ew / F.col("d_old")).alias("dr"),
+            )
+            dr_removed = removed.join(normal, "src").select(
+                "source", F.col("dst").alias("vid"),
+                (-F.lit(c) * F.col("p") * ew / F.col("d_old")).alias("dr"),
+            )
+            dr_self = normal.select(
+                "source", F.col("src").alias("vid"),
+                (
+                    -F.col("p") * (F.col("d_new") - F.col("d_old"))
+                    / (F.col("d_old") * F.lit(self.alpha))
+                ).alias("dr"),
+            )
+            # --- dangling transitions: recompute u's full contribution row
+            dr_t_oe = ctx.old_e.join(
+                trans.filter(F.col("d_old") > 0.0), "src"
+            ).select(
+                "source", F.col("dst").alias("vid"),
+                (-F.lit(c) * F.col("p") * ew / F.col("d_old")).alias("dr"),
+            )
+            dr_t_od = trans.filter(F.col("d_old") == 0.0).select(
+                "source", F.col("src").alias("vid"),
+                (-F.lit(c) * F.col("p")).alias("dr"),
+            )
+            dr_t_ne = ctx.new_e.join(
+                trans.filter(F.col("d_new") > 0.0), "src"
+            ).select(
+                "source", F.col("dst").alias("vid"),
+                (F.lit(c) * F.col("p") * ew / F.col("d_new")).alias("dr"),
+            )
+            dr_t_nd = trans.filter(F.col("d_new") == 0.0).select(
+                "source", F.col("src").alias("vid"),
+                (F.lit(c) * F.col("p")).alias("dr"),
+            )
+            deltas = (
+                dr_added.unionByName(dr_removed)
+                .unionByName(dr_self)
+                .unionByName(dr_t_oe)
+                .unionByName(dr_t_od)
+                .unionByName(dr_t_ne)
+                .unionByName(dr_t_nd)
+            )
+            # fold the state's leftover residuals in: the delta push then
+            # converges the TOTAL per-source residual to eps (no eps-drift
+            # accumulation over long update streams)
+            d0 = (
+                state.filter(F.col("residual") != 0.0)
+                .select("source", "vid", F.col("residual").alias("dr"))
+                .unionByName(deltas)
+                .groupBy("source", "vid")
+                .agg(F.sum("dr").alias("val"))
+                .filter(F.col("val") != 0.0)
+            )
+            scale = ctx.deg.filter(
+                (F.col("d_old") > 0.0) & (F.col("d_new") > 0.0)
+            ).select(
+                F.col("src").alias("vid"),
+                (F.col("d_new") / F.col("d_old")).alias("val"),
+            )
+            return {"d0": d0, "scale": scale}
+
+        import os
+
+        prof = os.environ.get("DYNPPR_PROFILE") == "1"
+
+        def _lap(label, since=[t0]):  # noqa: B006 — intentional shared cell
+            if prof:
+                now = time.time()
+                print(f"[ppr-prof] {label}: {now - since[0]:.2f}s", flush=True)
+                since[0] = now
+
+        old = self.graph
+        new = old.with_updates(
+            batch,
+            extra_frames=_adjustment_frames,
+            prepared=prepared,
+            extra_observe=self._d0_observe_exprs() if old._persist else None,
+        )
+        n_updates = int(new.last_batch_rows)
+        _lap("with_updates+adjust")
+        self.graph = new
+        self._dangling_possible = (
+            self._dangling_possible or self._check_dangling_possible(state)
+        )
+        new._push_ready = True  # overlays are checkpointed; base inherited
+
+        # --- delta re-push (its own rotator: the engine rotator still
+        # guards the pre-update state leaf, which `frozen` reads below)
+        from dynamicppr_spark.operators.superstep import CheckpointRotator
+
+        delta_rot = CheckpointRotator(self.spark)
+        full_state_rows = max(self._state_rows, 1)  # pre-delta full size
+        d0 = new.extra_slices["d0"].select(
+            "source", "vid",
+            F.col("val").alias("residual"),
+            F.lit(0.0).alias("reserve"),
+        )
+        if new.extra_metrics:
+            # initial delta L1/rows were observed during the tagged
+            # checkpoint job — the d0 slice is already leaf-backed, so no
+            # separate delta-checkpoint job is needed
+            got = new.extra_metrics
+            if self._per_source_freeze:
+                l1 = {s: float(got[f"l1_{s}"] or 0.0) for s in self.sources}
+            else:
+                g_l1 = float(got["l1_all"] or 0.0)
+                l1 = {s: g_l1 for s in self.sources}
+            drows = int(got["d0_rows"] or 0)
+            dstate = d0
+        else:
+            dstate, l1, drows = self._ckpt_with_l1(d0, delta_rot)
+        _lap("delta_ckpt")
+        dstate, steps, l1 = self._df_push_loop(
+            dstate, l1, delta_rot, state_rows=drows,
+            base=self.metrics.supersteps, durable=False,
+        )
+        _lap(f"repush[{steps} steps]")
+        # --- merge: rescaled frozen reserves ⊎ converged delta (ONE job)
+        scale = new.extra_slices["scale"].select("vid", F.col("val").alias("rscale"))
+        frozen = (
+            state.join(F.broadcast(scale), "vid", "left")
             .select(
                 "source", "vid",
-                (
-                    F.coalesce("residual", F.lit(0.0))
-                    + F.coalesce("dr", F.lit(0.0))
-                ).alias("residual"),
-                F.coalesce("reserve", F.lit(0.0)).alias("reserve"),
+                F.lit(0.0).alias("residual"),
+                (F.col("reserve") * F.coalesce("rscale", F.lit(1.0))).alias(
+                    "reserve"
+                ),
             )
-            .repartition(new.num_partitions, "vid")
+            .filter(F.col("reserve") != 0.0)
         )
-        self.state = new_state
-        prev_graph = self.graph
-        self.graph = new
-        self.push_to_convergence()
-        for df in (touched, deg, p_u):
-            df.unpersist()
+        merged = (
+            frozen.unionByName(dstate.select("source", "vid", "residual", "reserve"))
+            .groupBy("source", "vid")
+            .agg(
+                F.sum("residual").alias("residual"),
+                F.sum("reserve").alias("reserve"),
+            )
+            .filter((F.col("residual") != 0.0) | (F.col("reserve") != 0.0))
+            .repartition(self._state_parts(full_state_rows), "vid")
+        )
+        # fused final checkpoint: merged-state L1 (== the converged delta
+        # residual) + row count in the same job
+        self.state, l1, _ = self._ckpt_with_l1(merged, self._rotator)
+        _lap("merge")
+        # the merged state is materialized: free the last delta leaf
+        unpersist_rdd_ids(self.spark.sparkContext, delta_rot._prev_ids)
+        delta_rot.release()
+        self._converged = all(l1[s] <= self.eps for s in self.sources)
+        self.metrics.supersteps += steps
+        if self.ckpt_dir is not None:
+            self.state = self._checkpoint(self.state, self.metrics.supersteps, l1)
         # free the superseded graph's private delta blocks/caches — but
         # never the caller's original graph, and nothing the new graph
         # still shares (base edges/degree/scatter caches, vertex chain)
-        if prev_graph is not self._user_graph:
-            prev_graph.release(keep=new)
+        if old is not self._user_graph:
+            old.release(keep=new)
         self.metrics.updates_applied += n_updates
         self.metrics.batches_applied += 1
         # count full batch wall (prep + re-push), not just the push loop

@@ -54,13 +54,35 @@ class CheckpointRotator:
         self._prev_ids: set[int] = set()
 
     def checkpoint(self, df: DataFrame) -> DataFrame:
-        from dynamicppr_spark.rddtrack import track_new_rdds, unpersist_rdd_ids
+        import os
 
-        with track_new_rdds(self._sc) as created:
-            out = df.localCheckpoint(eager=True)
-        # drop the previous superstep's state blocks (no-op when tracking
-        # is unavailable — created.ids stays empty and _prev_ids never fills)
-        unpersist_rdd_ids(self._sc, self._prev_ids - created.ids)
+        from dynamicppr_spark.rddtrack import (
+            detach_plan_origin,
+            track_new_rdds,
+            unpersist_rdd_ids,
+        )
+
+        if os.environ.get("DYNPPR_PROFILE") == "1":
+            t0 = time.time()
+            with track_new_rdds(self._sc) as created:
+                out = detach_plan_origin(df.localCheckpoint(eager=True))
+            t1 = time.time()
+            unpersist_rdd_ids(self._sc, self._prev_ids - created.ids)
+            t2 = time.time()
+            print(
+                f"[rot-prof] ckpt={t1 - t0:.2f}s unpersist={t2 - t1:.2f}s",
+                flush=True,
+            )
+        else:
+            with track_new_rdds(self._sc) as created:
+                # detach_plan_origin severs the leaf's origin-plan chain —
+                # without it, per-checkpoint driver cost DOUBLES per call
+                # over long runs (stats re-walk; see rddtrack docstring)
+                out = detach_plan_origin(df.localCheckpoint(eager=True))
+            # drop the previous superstep's state blocks (no-op when
+            # tracking is unavailable — created.ids stays empty and
+            # _prev_ids never fills)
+            unpersist_rdd_ids(self._sc, self._prev_ids - created.ids)
         self._prev_ids = created.ids
         return out
 

@@ -8,7 +8,7 @@ spark-submit --py-files to multi-executor clusters"):
         --py-files dist/dynamicppr_spark.zip \
         jobs/run_ppr.py --edges <parquet> --sources 0,1 \
         [--updates <parquet>] [--eps 1e-6] [--alpha 0.15] \
-        [--mode df|csr] [--ckpt-dir <dir>] [--out <parquet>]
+        [--mode df|csr|bcsr|auto] [--ckpt-dir <dir>] [--out <parquet>]
 
 On a cluster pass no --master here; locally defaults to local[*].
 Emits one JSON metrics line on stdout and (optionally) writes scores.
@@ -29,7 +29,12 @@ def main() -> None:
     ap.add_argument("--updates", help="parquet with (batch_id,op,src,dst)")
     ap.add_argument("--alpha", type=float, default=0.15)
     ap.add_argument("--eps", type=float, default=1e-6)
-    ap.add_argument("--mode", choices=["df", "csr"], default="df")
+    ap.add_argument(
+        "--mode", choices=["df", "csr", "bcsr", "auto"], default="df",
+        help="df=distributed scatter (100 TB path); csr=per-partition "
+        "gather-scatter; bcsr=broadcast-CSR local push (size-gated); "
+        "auto=bcsr when the graph fits, else df",
+    )
     ap.add_argument("--num-partitions", type=int, default=None)
     ap.add_argument("--ckpt-dir", default=None)
     ap.add_argument("--out", default=None)

@@ -32,7 +32,8 @@ REPO = Path(__file__).resolve().parent.parent
 KERNEL_THROUGHPUTS = {
     "PPR supersteps/sec, distributed (K1)": "ppr_supersteps_per_sec",
     "PPR supersteps/sec, broadcast-CSR (K1)": "ppr_bcsr_supersteps_per_sec",
-    "PageRank supersteps/sec (K3)": "pagerank_supersteps_per_sec",
+    "PageRank supersteps/sec, distributed (K3)": "pagerank_supersteps_per_sec",
+    "PageRank supersteps/sec, local gate (K3)": "pagerank_local_supersteps_per_sec",
     "edge-updates/sec, 32-source auto (K2)": "edge_updates_per_sec",
     "edge-updates/sec, distributed df (K2)": "edge_updates_per_sec_df",
 }
@@ -44,6 +45,10 @@ FACTOR_ENV = {
     "pr_steps_per_job": "BENCH_PR_STEPS_PER_JOB",
     "update_batches": "BENCH_UPDATE_BATCHES",
     "updates_per_batch": "BENCH_UPDATES_PER_BATCH",
+    "repeats": "BENCH_REPEATS",
+    "clones": "BENCH_GRAPH_CLONES",
+    "pr_iters": "BENCH_PR_ITERS",
+    "ppr_supersteps": "BENCH_PPR_SUPERSTEPS",
 }
 
 
@@ -136,7 +141,7 @@ def main() -> None:
         return
 
     lines = [
-        "# BENCH — measured baseline + scaling efficiency (round 2)",
+        "# BENCH — measured baseline + scaling efficiency (round 3)",
         "",
         f"Input: `{args.sf_dir}` (sf={lo['sf']}), identical code/data at",
         f"`{master(args.low)}` (N) vs `{master(args.high)}` (4N) —",
@@ -145,9 +150,11 @@ def main() -> None:
         f"({factor:.0f} x throughput(N)); target >= 0.8 for the",
         "cluster-size criterion in BASELINE.json.",
         "",
-        f"Graph: {lo.get('n_vertices')} vertices, {lo.get('n_edges')} edges;",
+        f"Graph: {lo.get('n_vertices')} vertices, {lo.get('n_edges')} edges "
+        f"(clones={lo.get('graph_clones', 1)});",
         f"shuffle partitions: {lo['shuffle_partitions']} (N) / "
-        f"{hi['shuffle_partitions']} (4N).",
+        f"{hi['shuffle_partitions']} (4N); repeats per kernel query: "
+        f"{lo.get('repeats', 1)} (medians reported, spread in raw JSON).",
         "",
         "| kernel | throughput @N | throughput @4N | efficiency |",
         "|---|---|---|---|",
@@ -178,6 +185,21 @@ def main() -> None:
         "AQE is off in the fixed-size kernel loops (per-stage re-planning",
         "is serial driver time); lineage is truncated every superstep with",
         "checkpoint rotation; 64 shuffle partitions at both levels.",
+        "Kernel queries run BENCH_REPEATS times; the table reports the",
+        "MEDIAN (this box is a noisy shared tenant: single-shot deltas",
+        "under ~2x are not evidence — min/max spread is in the raw JSON).",
+        "",
+        "Round-3 df-update redesign (ppr.py apply_updates): one gated",
+        "O(batch*deg) collect, ONE tagged checkpoint job evaluating graph",
+        "deltas + the K2 adjustment (shared vectorized build_adjustment",
+        "over driver mini-CSRs) with observation-fused counts/L1, a",
+        "DELTA-ONLY re-push (push linearity), one merge job — ~4 jobs and",
+        "ONE O(E) probe scan per batch. Also fixed this round: a",
+        "per-checkpoint driver-cost DOUBLING on long update streams —",
+        "localCheckpoint leaves keep an origin-plan linkage whose chain",
+        "grows each superstep and whose stats re-walk is exponential;",
+        "rddtrack.detach_plan_origin severs it (50-batch soak now flat,",
+        "tests/test_soak.py).",
         "",
         "Round-1 factor study (consolidated into --factor flags here):",
         "tmpfs shuffle dir HURT, shuffle compression off HURT, separate",
@@ -192,17 +214,15 @@ def main() -> None:
         "box's aggregate DRAM bandwidth grows only ~1.9x from 8 to 32",
         "workers (53.6 -> 100.8 GB/s, max over repeated runs) — i.e. the",
         "HARDWARE ceiling for any bandwidth-bound kernel's 8->32 scaling",
-        "efficiency on one box is ~0.47. The distributed PPR kernel's",
-        "measured 0.5+ efficiency sits AT that envelope; the",
-        "broadcast-CSR kernels (pure per-source numpy sweeps, zero Spark",
-        "overhead) are flat-to-negative for the same reason — 8",
-        "concurrent sweeps already saturate the memory subsystem. On a",
-        "real N -> 4N EXECUTOR scale-up each node adds its own DRAM",
-        "channels, which is exactly the resource that does not quadruple",
-        "here. Serial overheads did shrink vs round 1: supersteps/sec",
-        "improved at BOTH levels (PPR 0.133 -> 0.145 @N and 0.259 ->",
-        "0.306 @4N; PageRank 0.738 -> 0.925 @N), so the residual gap is",
-        "the shared-memory ceiling, not driver floor.",
+        "efficiency on one box is ~0.47. The distributed PPR kernel",
+        "sits at that envelope; the broadcast-CSR / local kernels (pure",
+        "numpy sweeps, zero Spark overhead) are flat-to-negative for the",
+        "same reason — 8 concurrent sweeps already saturate the memory",
+        "subsystem. On a real N -> 4N EXECUTOR scale-up each node adds",
+        "its own DRAM channels, which is exactly the resource that does",
+        "not quadruple here. The round-3 clones run (BENCH_GRAPH_CLONES)",
+        "raises per-superstep work to amortize the serial per-job floor —",
+        "see the clones section below when present.",
         "",
         "Raw JSON:",
         "```json",
