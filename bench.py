@@ -20,6 +20,7 @@ automates that and writes BENCH/BASELINE.md.
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import statistics
@@ -54,6 +55,17 @@ REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 # is large enough that per-job overhead is no longer the bottleneck there
 STEPS_PER_JOB = int(os.environ.get("BENCH_STEPS_PER_JOB", "1"))
 PR_STEPS_PER_JOB = int(os.environ.get("BENCH_PR_STEPS_PER_JOB", "4"))
+# BENCH_ONLY=q_pagerank,q_ppr_static runs just those sections (the graph
+# build always runs — everything depends on it). Used by the scaling
+# harness's clones protocol, where the full suite at 8x edges would not
+# fit a round's wall budget.
+ONLY = frozenset(
+    s for s in os.environ.get("BENCH_ONLY", "").split(",") if s
+)
+
+
+def want(name: str) -> bool:
+    return not ONLY or name in ONLY
 
 
 def _update_batches(spark, vmax: int, seed: int = 42, n_batches=None):
@@ -153,18 +165,20 @@ def main() -> None:
     extras["graph_clones"] = clones
 
     # -------- K3 PageRank: fixed supersteps -> supersteps/sec
-    def _run_pr():
-        pagerank(g, tol=0.0, max_iter=PR_ITERS, steps_per_job=PR_STEPS_PER_JOB)
+    if want("q_pagerank"):
+        def _run_pr():
+            pagerank(g, tol=0.0, max_iter=PR_ITERS, steps_per_job=PR_STEPS_PER_JOB)
 
-    _, med = repeated("q_pagerank", _run_pr)
-    extras["pagerank_supersteps_per_sec"] = round(PR_ITERS / med, 4)
+        _, med = repeated("q_pagerank", _run_pr)
+        extras["pagerank_supersteps_per_sec"] = round(PR_ITERS / med, 4)
 
     # gated local-mode K3 (same arbitration as PPR's bcsr path)
-    def _run_pr_local():
-        pagerank(g, tol=0.0, max_iter=PR_ITERS, mode="local")
+    if want("q_pagerank_local"):
+        def _run_pr_local():
+            pagerank(g, tol=0.0, max_iter=PR_ITERS, mode="local")
 
-    _, med = repeated("q_pagerank_local", _run_pr_local)
-    extras["pagerank_local_supersteps_per_sec"] = round(PR_ITERS / med, 4)
+        _, med = repeated("q_pagerank_local", _run_pr_local)
+        extras["pagerank_local_supersteps_per_sec"] = round(PR_ITERS / med, 4)
 
     # -------- K1 static PPR (multi-source batched queries, K8):
     # fixed supersteps -> supersteps/sec. 32 sources amortize the fixed
@@ -177,28 +191,30 @@ def main() -> None:
         ).limit(n_sources).collect()
     ]
 
-    def _run_static():
-        eng = PPREngine(
-            g, top, eps=0.0, max_supersteps=PPR_SUPERSTEPS,
-            steps_per_job=STEPS_PER_JOB,
-        )
-        eng.push_to_convergence()
-        return {"steps": eng.metrics.supersteps}
+    if want("q_ppr_static"):
+        def _run_static():
+            eng = PPREngine(
+                g, top, eps=0.0, max_supersteps=PPR_SUPERSTEPS,
+                steps_per_job=STEPS_PER_JOB,
+            )
+            eng.push_to_convergence()
+            return {"steps": eng.metrics.supersteps}
 
-    res, med = repeated("q_ppr_static", _run_static)
-    extras["ppr_supersteps_per_sec"] = round(res["steps"] / med, 4)
-    extras["ppr_n_sources"] = n_sources
+        res, med = repeated("q_ppr_static", _run_static)
+        extras["ppr_supersteps_per_sec"] = round(res["steps"] / med, 4)
+        extras["ppr_n_sources"] = n_sources
 
     # -------- K1/K8 static PPR, broadcast-CSR mode (reference-parity
     # in-memory push; operators/local_push.py) — same work as q_ppr_static
-    def _run_static_bcsr():
-        engb = PPREngine(
-            g, top, eps=0.0, max_supersteps=PPR_SUPERSTEPS, mode="bcsr"
-        )
-        engb.push_to_convergence()
+    if want("q_ppr_static_bcsr"):
+        def _run_static_bcsr():
+            engb = PPREngine(
+                g, top, eps=0.0, max_supersteps=PPR_SUPERSTEPS, mode="bcsr"
+            )
+            engb.push_to_convergence()
 
-    _, med = repeated("q_ppr_static_bcsr", _run_static_bcsr)
-    extras["ppr_bcsr_supersteps_per_sec"] = round(PPR_SUPERSTEPS / med, 4)
+        _, med = repeated("q_ppr_static_bcsr", _run_static_bcsr)
+        extras["ppr_bcsr_supersteps_per_sec"] = round(PPR_SUPERSTEPS / med, 4)
 
     # -------- K2 dynamic updates -> edge-updates-applied/sec
     # The maintained workload is the reference's batched-query model: 32
@@ -209,69 +225,88 @@ def main() -> None:
     # one engine per mode, converged once OUTSIDE the repeated window; each
     # repeat applies a fresh batch stream to the EVOLVING maintained state
     # (the realistic update-stream regime) and times only the update window
-    eng2 = PPREngine(g, top, eps=1e-3, mode="auto")
-    eng2.push_to_convergence()
-    seeds = iter(range(42, 42 + 10))
+    if want("q_ppr_updates"):
+        eng2 = PPREngine(g, top, eps=1e-3, mode="auto")
+        eng2.push_to_convergence()
+        # unbounded seed streams: BENCH_REPEATS > 10 must not exhaust them
+        seeds = itertools.count(42)
 
-    def _run_updates_auto():
-        batches = _update_batches(spark, extras["n_vertices"], seed=next(seeds))
-        before = eng2.metrics.updates_applied
-        t = time.time()
-        for b in batches:
-            eng2.apply_updates(b)
-        wall = time.time() - t
-        return {"ups": (eng2.metrics.updates_applied - before) / wall}
+        def _run_updates_auto():
+            batches = _update_batches(
+                spark, extras["n_vertices"], seed=next(seeds)
+            )
+            before = eng2.metrics.updates_applied
+            t = time.time()
+            for b in batches:
+                eng2.apply_updates(b)
+            wall = time.time() - t
+            return {"ups": (eng2.metrics.updates_applied - before) / wall}
 
-    res, med = repeated("q_ppr_updates", _run_updates_auto)
-    extras["edge_updates_per_sec"] = round(res["ups"], 4)
-    extras["ppr_updates_mode"] = eng2._resolved_mode()
-    extras["ppr_updates_n_sources"] = n_sources
+        res, med = repeated("q_ppr_updates", _run_updates_auto)
+        extras["edge_updates_per_sec"] = round(res["ups"], 4)
+        extras["ppr_updates_mode"] = eng2._resolved_mode()
+        extras["ppr_updates_n_sources"] = n_sources
 
-    # df-mode dynamic updates (the 100 TB fallback path), single source as
-    # in round 1, fewer batches (each is distributed dataflow)
-    eng3 = PPREngine(g, [1], eps=1e-3, mode="df", steps_per_job=STEPS_PER_JOB)
-    eng3.push_to_convergence()
-    seeds_df = iter(range(7, 17))
-
-    def _run_updates_df():
-        batches_df = _update_batches(
-            spark, extras["n_vertices"], seed=next(seeds_df), n_batches=3
+    # df-mode dynamic updates (the 100 TB fallback path) — round-4: the
+    # SAME 32 maintained sources as the bcsr headline, so the two modes'
+    # edge-updates/sec are like-for-like (the product regime is "all
+    # maintained sources stay correct under the stream"); fewer batches
+    # per repeat (each batch is distributed dataflow)
+    if want("q_ppr_updates_df"):
+        n_sources_df = int(
+            os.environ.get("BENCH_PPR_DF_SOURCES", str(n_sources))
         )
-        before = eng3.metrics.updates_applied
-        t = time.time()
-        for b in batches_df:
-            eng3.apply_updates(b)
-        wall = time.time() - t
-        return {"ups": (eng3.metrics.updates_applied - before) / wall}
+        eng3 = PPREngine(
+            g, top[:n_sources_df], eps=1e-3, mode="df",
+            steps_per_job=STEPS_PER_JOB,
+        )
+        eng3.push_to_convergence()
+        seeds_df = itertools.count(7)
 
-    res, med = repeated("q_ppr_updates_df", _run_updates_df)
-    extras["edge_updates_per_sec_df"] = round(res["ups"], 4)
+        def _run_updates_df():
+            batches_df = _update_batches(
+                spark, extras["n_vertices"], seed=next(seeds_df), n_batches=3
+            )
+            before = eng3.metrics.updates_applied
+            t = time.time()
+            for b in batches_df:
+                eng3.apply_updates(b)
+            wall = time.time() - t
+            return {"ups": (eng3.metrics.updates_applied - before) / wall}
+
+        res, med = repeated("q_ppr_updates_df", _run_updates_df)
+        extras["edge_updates_per_sec_df"] = round(res["ups"], 4)
+        extras["ppr_updates_df_n_sources"] = n_sources_df
 
     # -------- K6 triangles
-    with timed("q_triangles"):
-        triangle_count(g).collect()
+    if want("q_triangles"):
+        with timed("q_triangles"):
+            triangle_count(g).collect()
 
     # -------- dedup + similarity over documents/embeddings
     from dynamicppr_spark.functions.dedup import minhash_lsh_pairs
     from dynamicppr_spark.functions.similarity import cosine_topk
 
-    with timed("q_minhash_lsh"):
-        docs = load_table(spark, SF_DIR, "documents")
-        minhash_lsh_pairs(docs, num_hashes=8, bands=4).count()
-    with timed("q_cosine_topk"):
-        emb = load_table(spark, SF_DIR, "embeddings")
-        cosine_topk(emb, k=5, n_queries=20).count()
+    if want("q_minhash_lsh"):
+        with timed("q_minhash_lsh"):
+            docs = load_table(spark, SF_DIR, "documents")
+            minhash_lsh_pairs(docs, num_hashes=8, bands=4).count()
+    if want("q_cosine_topk"):
+        with timed("q_cosine_topk"):
+            emb = load_table(spark, SF_DIR, "embeddings")
+            cosine_topk(emb, k=5, n_queries=20).count()
 
     # -------- relational spine (TPC-H Q1 style)
-    with timed("q_tpch_q1"):
-        li = load_table(spark, SF_DIR, "lineitem")
-        li.filter(F.col("l_shipdate") <= "1998-09-02").groupBy(
-            "l_returnflag", "l_linestatus"
-        ).agg(
-            F.sum("l_quantity").alias("sum_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.count("*").alias("n"),
-        ).collect()
+    if want("q_tpch_q1"):
+        with timed("q_tpch_q1"):
+            li = load_table(spark, SF_DIR, "lineitem")
+            li.filter(F.col("l_shipdate") <= "1998-09-02").groupBy(
+                "l_returnflag", "l_linestatus"
+            ).agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.avg("l_extendedprice").alias("avg_price"),
+                F.count("*").alias("n"),
+            ).collect()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -76,20 +76,39 @@ def cosine_topk(
     )
 
 
+def md5_planes(n_planes: int, dim: int) -> np.ndarray:
+    """Deterministic hyperplanes from the md5 hash family (no RNG seed):
+    ``p[j, d-1] = int(md5(f"{j}:{d}")[:8], 16) / 2^31 - 1`` — uniform in
+    [-1, 1), ``d`` 1-based to match SQL array indexing. Same device as
+    the MinHash md5 salt family (functions/dedup.py): any engine with
+    md5 reproduces the planes bit-identically, which is what makes the
+    ANN query DuckDB-oracle-checkable."""
+    import hashlib
+
+    out = np.empty((n_planes, dim))
+    for j in range(n_planes):
+        for d in range(1, dim + 1):
+            h = hashlib.md5(f"{j}:{d}".encode()).hexdigest()[:8]
+            out[j, d - 1] = int(h, 16) / 2**31 - 1
+    return out
+
+
 def hyperplane_signatures(
-    emb: DataFrame, dim: int, n_planes: int = 12, seed: int = 42
+    emb: DataFrame, dim: int, n_planes: int = 12
 ) -> DataFrame:
     """(vec_id, bucket): random-hyperplane LSH signature as a bigint.
 
-    Planes are a seeded numpy matrix captured in the UDF closure (small:
-    n_planes x dim doubles) — Arrow-vectorized batches, no per-row Python.
+    Planes are the md5-derived matrix (``md5_planes``) captured in the
+    UDF closure (small: n_planes x dim doubles) — Arrow-vectorized
+    batches, no per-row Python. Sign bits use double-precision dots, so
+    the SQL oracle's ``sum(CAST(embedding[d] AS DOUBLE) * p)`` agrees
+    exactly up to summation order (a flip needs |dot| ~ 1e-15).
     """
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
+    planes = md5_planes(n_planes, dim)
 
     @F.pandas_udf(LongType())
     def signature(v: pd.Series) -> pd.Series:
-        mat = np.stack(v.to_numpy())  # (batch, dim)
+        mat = np.stack(v.to_numpy()).astype(np.float64)  # (batch, dim)
         bits = (mat @ planes.T) > 0  # (batch, n_planes)
         weights = (1 << np.arange(n_planes)).astype(np.int64)
         return pd.Series(bits.astype(np.int64) @ weights)
@@ -103,7 +122,6 @@ def lsh_topk(
     n_planes: int = 8,
     n_queries: int = 10,
     dim: int | None = None,
-    seed: int = 42,
 ) -> DataFrame:
     """(query_id, vec_id, cos, rank): ANN top-k within LSH buckets.
 
@@ -113,7 +131,7 @@ def lsh_topk(
     """
     if dim is None:
         dim = len(emb.select("embedding").first()[0])
-    sig = hyperplane_signatures(emb, dim, n_planes=n_planes, seed=seed)
+    sig = hyperplane_signatures(emb, dim, n_planes=n_planes)
     e = emb.join(sig, "vec_id").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),

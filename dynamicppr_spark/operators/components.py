@@ -90,12 +90,39 @@ def connected_components(
     return result.state.select("vid", "component")
 
 
+def _induced_subgraph_edges(
+    sym_edges: DataFrame,
+    aff_vids: DataFrame,
+    n_aff: int,
+    broadcast_max_rows: int,
+) -> DataFrame:
+    """Edges with BOTH endpoints in ``aff_vids`` (one O(E) probe scan).
+
+    The probe side is broadcast only while it is provably small
+    (``n_aff <= broadcast_max_rows``); past the cap a shuffled semi-join
+    does the same probe without shipping an O(V) table to every executor
+    — the round-3 version force-broadcast unconditionally, which on a
+    power-law giant-component delete is an executor/driver OOM.
+    """
+    def _vids_as(name: str) -> DataFrame:
+        v = aff_vids.withColumnRenamed("vid", name)
+        return F.broadcast(v) if n_aff <= broadcast_max_rows else v
+
+    return (
+        sym_edges.join(_vids_as("src"), "src", "left_semi")
+        .join(_vids_as("dst"), "dst", "left_semi")
+        .select("src", "dst")
+    )
+
+
 def connected_components_incremental(
     graph: LinkGraph,
     prev_labels: DataFrame,
     batch: DataFrame,
     max_iter: int = 100,
     info: dict | None = None,
+    affected_fraction_max: float = 0.2,
+    broadcast_max_rows: int = 1_000_000,
 ) -> tuple[DataFrame, LinkGraph]:
     """K4 under edge updates: (labels, updated_graph).
 
@@ -104,10 +131,12 @@ def connected_components_incremental(
     inside their own component, so the min over merged seeds is the true
     new minimum — exactness gated in tests).
 
-    DELETIONS (round-3): a delete can only SPLIT the component(s) its
-    endpoints belong to. Instead of a full recompute, the kernel
-      1. collects the affected component ids (old labels of the deleted
-         pairs' endpoints — O(|batch|) lookups),
+    DELETIONS (round-3, guards round-4): a delete can only SPLIT the
+    component(s) its endpoints belong to. Instead of a full recompute,
+    the kernel
+      1. derives the affected component ids (old labels of the deleted
+         pairs' endpoints) with dataflow joins — nothing is collected on
+         the driver,
       2. re-runs min-label FROM SCRATCH on the induced subgraph of those
          components only (labels of every other vertex are reused),
       3. runs ONE warm-started min-label pass over the full graph seeded
@@ -117,32 +146,44 @@ def connected_components_incremental(
          component, and each final component contains its min-vid vertex
          as a seed (its subgraph piece label can only be that minimum),
          so warm min-label converges to the true per-component minimum.
+
+    Scale guards (round-4, power-law reality: most deletes hit the giant
+    component, making the affected set ~the whole vertex table):
+      - the affected VERTEX COUNT is measured first; if it exceeds
+        ``affected_fraction_max`` of the graph, the subgraph machinery is
+        skipped for a plain cold recompute (same asymptotic cost as the
+        subgraph pass would have had, none of its overhead),
+      - below the fraction gate, ``aff_vids`` is broadcast only while it
+        fits ``broadcast_max_rows`` (~8 MB of bigints at the default);
+        beyond that the induced-subgraph probe uses shuffled semi-joins,
+      - nothing O(|batch|) or O(V) is ever collect()ed on the driver.
+
     ``info`` (optional dict) receives diagnostics: mode,
-    affected_components, subgraph_vertices.
+    affected_vertices, and — only when a dict is PASSED (each is an extra
+    Spark job) — affected_components.
     """
+    want_diag = info is not None
     if info is None:
         info = {}
     deleted = batch.filter(F.col("op") == "-").select(
         F.col("src").cast("bigint").alias("src"),
         F.col("dst").cast("bigint").alias("dst"),
     )
-    del_ends = [
-        int(v)
-        for r in deleted.collect()
-        for v in (r["src"], r["dst"])
-    ]
+    # O(|batch|) dataflow (no driver collect): distinct endpoints of
+    # deleted pairs. The single count() below doubles as the empty check.
+    ends_df = (
+        deleted.select(F.explode(F.array("src", "dst")).alias("vid"))
+        .distinct()
+    )
+    n_ends = ends_df.count()
     g2 = graph.with_updates(batch)
-    if not del_ends:
-        info.update(mode="insert_warm", affected_components=0)
+    if n_ends == 0:
+        info.update(mode="insert_warm", affected_vertices=0)
         return (
             connected_components(g2, max_iter=max_iter, init_labels=prev_labels),
             g2,
         )
 
-    spark = graph.spark
-    ends_df = spark.createDataFrame(
-        [(v,) for v in sorted(set(del_ends))], "vid bigint"
-    )
     affected = (
         prev_labels.join(F.broadcast(ends_df), "vid", "left_semi")
         .select("component")
@@ -151,14 +192,19 @@ def connected_components_incremental(
     aff_vids = prev_labels.join(
         F.broadcast(affected), "component", "left_semi"
     ).select("vid")
-    # induced subgraph: post-update edges with BOTH endpoints affected
-    # (one O(E) broadcast-probe scan; edges leaving the affected set are
-    # finalized by the warm full-graph pass below)
+    n_aff = aff_vids.count()
+    info["affected_vertices"] = n_aff
+    if want_diag:
+        info["affected_components"] = affected.count()
+    if n_aff > affected_fraction_max * max(1, graph.num_vertices):
+        # giant-component delete: the induced subgraph IS (almost) the
+        # graph — recompute cold, skip the broadcast/subgraph machinery
+        info["mode"] = "full_recompute"
+        return connected_components(g2, max_iter=max_iter), g2
+
     sym = g2.symmetrized()
-    sub_edges = (
-        sym.edges.join(F.broadcast(aff_vids.withColumnRenamed("vid", "src")), "src", "left_semi")
-        .join(F.broadcast(aff_vids.withColumnRenamed("vid", "dst")), "dst", "left_semi")
-        .select("src", "dst")
+    sub_edges = _induced_subgraph_edges(
+        sym.edges, aff_vids, n_aff, broadcast_max_rows
     )
     sub_graph = LinkGraph(
         sub_edges,
@@ -166,14 +212,11 @@ def connected_components_incremental(
         num_partitions=graph.num_partitions,
     )
     recomputed = connected_components(sub_graph, max_iter=max_iter)
+    # ``affected`` is component IDS — bounded by 2*|batch| rows, safe to
+    # broadcast regardless of graph size (unlike aff_vids above)
     kept = prev_labels.join(F.broadcast(affected), "component", "left_anti")
     seeds = kept.unionByName(recomputed)
     out = connected_components(g2, max_iter=max_iter, init_labels=seeds)
-    n_aff = sub_graph.num_vertices
     sub_graph.release()
-    info.update(
-        mode="decremental_subgraph",
-        affected_components=affected.count(),
-        subgraph_vertices=n_aff,
-    )
+    info.update(mode="decremental_subgraph", subgraph_vertices=n_aff)
     return out, g2

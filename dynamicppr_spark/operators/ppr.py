@@ -431,6 +431,11 @@ class PPREngine:
         live = [s for s in self.sources if l1[s] > self.eps]
         steps = 0
         self._last_durable = 0
+        # derive the broadcast-frontier decision from THIS loop's entry
+        # state size — the flag's terminal value from a previous loop is
+        # stale (a K2 delta re-push always exits with tiny state/True,
+        # which would broadcast-hint a later full-size state's first step)
+        self._broadcast_frontier = state_rows <= self.broadcast_max_rows
         while live and steps < self.max_supersteps:
             # compose k supersteps into ONE job while the state is small —
             # the per-job serial floor (Catalyst+py4j+scheduling+barrier),

@@ -69,6 +69,172 @@ def triangle_count(
     return out
 
 
+def _canon(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: distinct (a<b) pairs."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+
+
+def _canon_cached(graph: LinkGraph) -> DataFrame:
+    """Per-graph persisted canonical edge set, registered in the graph's
+    owned caches so ``graph.release()`` frees it. In a maintained update
+    stream each graph's set is probed twice per batch (as new, then as
+    old of the next batch) — caching avoids re-running the O(E) distinct."""
+    c = getattr(graph, "_canon_edges", None)
+    if c is None:
+        c = _canon(graph.edges).persist(StorageLevel.MEMORY_AND_DISK)
+        graph._canon_edges = c
+        graph._owned_caches.append(c)
+    return c
+
+
+def _triangles_touching(delta: DataFrame, edges: DataFrame) -> DataFrame:
+    """Distinct triangles (x<y<z) of canonical edge set ``edges`` that
+    contain at least one ``delta`` edge (``delta`` ⊆ ``edges``, both
+    canonical a<b pairs; ``delta`` is batch-sized and broadcast).
+
+    Two O(E) probe scans: (1) expand each delta edge (a,b) by a's
+    neighbors w, (2) keep wedges whose closing edge (b,w) exists. Sorting
+    each survivor to a triple and taking DISTINCT counts every touched
+    triangle exactly once — no inclusion-exclusion bookkeeping for
+    triangles with 2 or 3 delta edges, and the distinct runs over only
+    O(|delta| * deg) rows."""
+    adj = edges.select(F.col("a").alias("v"), F.col("b").alias("w")).unionByName(
+        edges.select(F.col("b").alias("v"), F.col("a").alias("w"))
+    )
+    d = delta.select(F.col("a").alias("da"), F.col("b").alias("db"))
+    wedge = (
+        adj.join(F.broadcast(d), F.col("v") == F.col("da"))
+        .filter(F.col("w") != F.col("db"))
+        # rename before re-joining adj: wedge derives from adj and a raw
+        # self-join on shared names is ambiguous
+        .select(
+            F.col("da").alias("wa"),
+            F.col("db").alias("wb"),
+            F.col("w").alias("wc"),
+        )
+    )
+    closed = adj.join(
+        F.broadcast(wedge),
+        (F.col("v") == F.col("wb")) & (F.col("w") == F.col("wc")),
+    ).select("wa", "wb", "wc")
+    tri = closed.select(
+        F.array_sort(F.array("wa", "wb", "wc")).alias("t")
+    ).select(
+        F.col("t")[0].alias("x"), F.col("t")[1].alias("y"), F.col("t")[2].alias("z")
+    )
+    return tri.distinct()
+
+
+def triangle_delta(
+    old_graph: LinkGraph, new_graph: LinkGraph, batch: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """(gained, lost) triangle triples (x,y,z) between the two graphs.
+
+    ``batch`` is the ±edge update DataFrame (op, src, dst[, w]) that
+    produced ``new_graph`` from ``old_graph``. Membership change is
+    derived from the GRAPHS, not the batch ops (a '+' on an existing edge
+    or a '-' on a missing one changes nothing), by probing each canonical
+    edge set with the broadcast batch pairs — two O(E) scans — then
+    anti-joining the two batch-sized hit sets.
+
+    A gained triangle lives in new and contains an added edge (added
+    edges are absent from old, so it is genuinely new); symmetrically for
+    lost. Triangles whose edges are all untouched appear in neither."""
+    bp = (
+        batch.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    e_old = _canon_cached(old_graph)
+    e_new = _canon_cached(new_graph)
+    old_hit = e_old.join(F.broadcast(bp), ["a", "b"], "left_semi")
+    new_hit = e_new.join(F.broadcast(bp), ["a", "b"], "left_semi")
+    added = new_hit.join(old_hit, ["a", "b"], "left_anti")
+    removed = old_hit.join(new_hit, ["a", "b"], "left_anti")
+    gained = _triangles_touching(added, e_new)
+    lost = _triangles_touching(removed, e_old)
+    return gained, lost
+
+
+def triangle_count_incremental(
+    graph: LinkGraph,
+    prev_count: int,
+    batch: DataFrame,
+    info: dict | None = None,
+) -> tuple[int, LinkGraph]:
+    """K6 under edge updates: (new_count, updated_graph) without a
+    from-scratch recount.
+
+    new_count = prev_count + |gained| - |lost| where gained/lost come
+    from ``triangle_delta`` — per batch that is four O(E) probe scans
+    with broadcast batch-sized probes (vs the full recount's two O(E)
+    joins with O(sum deg^2) wedge fan-out). Exactness is gated
+    metamorphically vs the full recount in tests/test_round4_fixes.py.
+
+    ``info`` (optional) receives gained/lost counts."""
+    g2 = graph.with_updates(batch)
+    gained, lost = triangle_delta(graph, g2, batch)
+    n_gain = gained.count()
+    n_lost = lost.count()
+    if info is not None:
+        info.update(gained=n_gain, lost=n_lost)
+    return prev_count + n_gain - n_lost, g2
+
+
+def per_vertex_triangles_incremental(
+    graph: LinkGraph,
+    prev_counts: DataFrame,
+    batch: DataFrame,
+) -> tuple[DataFrame, LinkGraph]:
+    """K6 per-vertex counts under edge updates: (counts, updated_graph).
+
+    Each gained/lost triangle adjusts its three corner vertices by ±1;
+    the adjustment table is O(|gained|+|lost|) rows, merged into the
+    previous counts with one outer join on vid (new vertices introduced
+    by the batch enter at their delta, missing deltas keep the old
+    count).
+
+    The returned counts are LAZY and reference the pre-update graph:
+    in a maintained stream, cut the lineage (``df.localCheckpoint()`` or
+    persist+count) before releasing the predecessor graph — the same
+    checkpoint discipline every maintained state in this engine follows
+    (operators/superstep.py)."""
+    g2 = graph.with_updates(batch)
+    gained, lost = triangle_delta(graph, g2, batch)
+
+    def _corners(tri: DataFrame, sign: int) -> DataFrame:
+        return tri.select(
+            F.explode(F.array("x", "y", "z")).alias("vid"),
+            F.lit(sign).alias("d"),
+        )
+
+    deltas = (
+        _corners(gained, 1)
+        .unionByName(_corners(lost, -1))
+        .groupBy("vid")
+        .agg(F.sum("d").alias("d"))
+    )
+    out = (
+        g2.vertices.join(
+            prev_counts.withColumnRenamed("triangles", "prev"), "vid", "left"
+        )
+        .join(deltas, "vid", "left")
+        .select(
+            "vid",
+            (
+                F.coalesce("prev", F.lit(0)) + F.coalesce("d", F.lit(0))
+            ).cast("bigint").alias("triangles"),
+        )
+    )
+    return out, g2
+
+
 def per_vertex_triangles(graph: LinkGraph) -> DataFrame:
     """(vid, triangles) — number of triangles incident to each vertex."""
     e = _oriented(graph, orient_by_degree=False).persist(

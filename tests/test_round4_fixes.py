@@ -1,0 +1,303 @@
+"""Round-4 gates (VERDICT r3 "Next round" items).
+
+1. Decremental CC scale guards: affected-fraction gate falls back to a
+   cold recompute; the induced-subgraph probe does not broadcast an O(V)
+   vertex table past the size cap (plan-level assert); diagnostics jobs
+   run only when requested.
+2. Incremental triangle counting: global + per-vertex maintenance under
+   random ± batches matches a full recount (metamorphic, like K2's gate).
+3. md5-derived hyperplane LSH: plane family pinned against the hash
+   definition, so the DuckDB oracle for embedding_lsh_ann is exact.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests import fixtures, oracle
+from tests.conftest import df_to_map
+
+
+def _batch_df(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["op", "src", "dst"])
+    )
+
+
+# --------------------------------------------------------- decremental CC
+def test_decremental_cc_fraction_gate_full_recompute(spark, make_graph):
+    """A delete inside the giant component (affected fraction > gate)
+    must skip the subgraph machinery for a plain cold recompute — and
+    stay exact."""
+    from dynamicppr_spark.operators.components import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    edges, n = fixtures.two_cliques_bridge()  # one 12-vertex component
+    g = make_graph(edges, n)
+    base = connected_components(g)
+    batch = _batch_df(spark, [("-", 5, 6), ("-", 6, 5)])
+    info = {}
+    labels, g2 = connected_components_incremental(
+        g, base, batch, info=info, affected_fraction_max=0.2
+    )
+    assert info["mode"] == "full_recompute"
+    assert info["affected_vertices"] == 12  # the whole (only) component
+    got = df_to_map(labels, ["vid"], "component")
+    final = np.array(
+        [(s, d) for s, d in edges if (s, d) not in [(5, 6), (6, 5)]]
+    )
+    want = oracle.connected_components(final, n)
+    assert got == {v: int(want[v]) for v in range(n)}
+    g2.release()
+    g.release()
+
+
+def test_decremental_cc_shuffled_semi_join_exact(spark, make_graph):
+    """broadcast_max_rows=0 forces the shuffled semi-join probe: the
+    decremental subgraph path must be exact without any forced broadcast
+    of the affected vertex set."""
+    from dynamicppr_spark.operators.components import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    edges_a, _ = fixtures.two_cliques_bridge()
+    cyc = np.array([[100 + i, 100 + (i + 1) % 8] for i in range(8)])
+    edges = np.vstack([edges_a, cyc])
+    g = make_graph(edges)
+    base = connected_components(g)
+    batch = _batch_df(spark, [("-", 5, 6), ("-", 6, 5)])
+    info = {}
+    labels, g2 = connected_components_incremental(
+        g,
+        base,
+        batch,
+        info=info,
+        affected_fraction_max=0.9,
+        broadcast_max_rows=0,
+    )
+    assert info["mode"] == "decremental_subgraph"
+    got = df_to_map(labels, ["vid"], "component")
+    vids = sorted({int(v) for e in edges for v in e})
+    remap = {v: i for i, v in enumerate(vids)}
+    final = [
+        (s, d) for s, d in (tuple(e) for e in edges)
+        if (s, d) not in [(5, 6), (6, 5)]
+    ]
+    fe = np.array([[remap[s], remap[d]] for s, d in final])
+    want_d = oracle.connected_components(fe, len(vids))
+    inv = {i: v for v, i in remap.items()}
+    assert got == {inv[i]: inv[int(c)] for i, c in enumerate(want_d)}
+    g2.release()
+    g.release()
+
+
+def test_induced_subgraph_probe_broadcast_gated(spark):
+    """Plan-level: the affected-vertex probe broadcasts below the cap and
+    does NOT broadcast above it (the round-3 O(V) forced broadcast is
+    gone)."""
+    from dynamicppr_spark.operators.components import _induced_subgraph_edges
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "src bigint, dst bigint"
+    )
+    vids = spark.createDataFrame([(i,) for i in range(30)], "vid bigint")
+
+    # optimized LOGICAL plan: the gate controls the FORCED hint only —
+    # the physical planner stays free to auto-broadcast a genuinely small
+    # side (at real O(V) sizes its stats exceed the threshold)
+    over = _induced_subgraph_edges(edges, vids, n_aff=30, broadcast_max_rows=10)
+    plan_over = over._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in plan_over
+
+    under = _induced_subgraph_edges(edges, vids, n_aff=5, broadcast_max_rows=10)
+    plan_under = under._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" in plan_under
+    # both produce identical row sets either way
+    assert sorted(map(tuple, over.collect())) == sorted(
+        map(tuple, under.collect())
+    )
+
+
+def test_decremental_cc_diag_jobs_gated(spark, make_graph):
+    """The affected_components diagnostic count runs ONLY when an info
+    dict is passed (it is an extra Spark job per delete batch)."""
+    from dynamicppr_spark.operators.components import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    edges, n = fixtures.two_cliques_bridge()
+    g = make_graph(edges, n)
+    base = connected_components(g).persist()
+    base.count()
+    sc = spark.sparkContext
+
+    def jobs_for(group, fn):
+        sc.setJobGroup(group, group)
+        try:
+            fn()
+        finally:
+            sc.setJobGroup(None, None)
+        return len(spark.sparkContext.statusTracker().getJobIdsForGroup(group))
+
+    batch = _batch_df(spark, [("-", 5, 6), ("-", 6, 5)])
+
+    def run(diag):
+        labels, g2 = connected_components_incremental(
+            g, base, batch, info=({} if diag else None),
+            affected_fraction_max=0.9,
+        )
+        labels.count()
+        g2.release(keep=g)
+
+    n_without = jobs_for("cc-inc-nodiag", lambda: run(False))
+    n_with = jobs_for("cc-inc-diag", lambda: run(True))
+    assert n_without < n_with
+    base.unpersist()
+    g.release()
+
+
+# --------------------------------------------------- incremental triangles
+@pytest.mark.parametrize("kind", ["inserts", "deletes", "mixed"])
+def test_triangle_count_incremental_metamorphic(spark, make_graph, kind):
+    """Maintained global count across random ± batches == full recount on
+    the final graph (and on every intermediate graph)."""
+    from dynamicppr_spark.operators.triangles import (
+        triangle_count,
+        triangle_count_incremental,
+    )
+
+    edges, n = fixtures.rmat_graph(n=64, m=300, seed=11)
+    script = fixtures.update_script(edges, n, kind, n_batches=3)
+    g = make_graph(edges, n)
+    count = triangle_count(g).collect()[0]["n"]
+    assert count == oracle.triangle_count(edges, n)
+
+    cur_edges = edges
+    for bid in sorted(script["batch_id"].unique()):
+        b = script[script["batch_id"] == bid][["op", "src", "dst"]]
+        info = {}
+        count, g2 = triangle_count_incremental(
+            g, count, spark.createDataFrame(b), info=info
+        )
+        cur_edges = fixtures.apply_script_numpy(
+            cur_edges, script[script["batch_id"] == bid]
+        )
+        assert count == oracle.triangle_count(cur_edges, n), (
+            f"batch {bid}: {info}"
+        )
+        g.release(keep=g2)
+        g = g2
+    g.release()
+
+
+def test_per_vertex_triangles_incremental(spark, make_graph):
+    """Maintained per-vertex counts under a mixed batch == per-vertex
+    recount on the updated graph."""
+    from dynamicppr_spark.operators.triangles import (
+        per_vertex_triangles,
+        per_vertex_triangles_incremental,
+    )
+
+    edges, n = fixtures.rmat_graph(n=48, m=220, seed=5)
+    script = fixtures.update_script(edges, n, "mixed", n_batches=2, seed=3)
+    g = make_graph(edges, n)
+    counts = per_vertex_triangles(g)
+
+    cur_edges = edges
+    for bid in sorted(script["batch_id"].unique()):
+        b = script[script["batch_id"] == bid][["op", "src", "dst"]]
+        counts, g2 = per_vertex_triangles_incremental(
+            g, counts, spark.createDataFrame(b)
+        )
+        # maintained-state discipline: cut the counts' lineage before
+        # releasing the predecessor graph they were derived from
+        counts = counts.localCheckpoint()
+        cur_edges = fixtures.apply_script_numpy(
+            cur_edges, script[script["batch_id"] == bid]
+        )
+        g.release(keep=g2)
+        g = g2
+    got = df_to_map(counts, ["vid"], "triangles")
+    want = df_to_map(per_vertex_triangles(g), ["vid"], "triangles")
+    assert got == want
+    g.release()
+
+
+def test_triangle_noop_batch_is_noop(spark, make_graph):
+    """'+' on an existing edge / '-' on a missing edge must not move the
+    maintained count (membership change derives from the graphs, not the
+    batch ops)."""
+    from dynamicppr_spark.operators.triangles import (
+        triangle_count,
+        triangle_count_incremental,
+    )
+
+    edges, n = fixtures.two_cliques_bridge()
+    g = make_graph(edges, n)
+    count = triangle_count(g).collect()[0]["n"]
+    batch = _batch_df(
+        spark, [("+", 0, 1), ("-", 0, 11)]  # 0->1 exists; 0->11 does not
+    )
+    info = {}
+    count2, g2 = triangle_count_incremental(g, count, batch, info=info)
+    assert count2 == count
+    assert info == {"gained": 0, "lost": 0}
+    g2.release()
+    g.release()
+
+
+# ------------------------------------------------------- md5 LSH planes
+def test_md5_planes_pinned():
+    """Plane family pinned to its definition: p[j][d-1] =
+    md5(f"{j}:{d}")[:8] / 2^31 - 1 — the exact formula the DuckDB oracle
+    for embedding_lsh_ann reproduces in SQL."""
+    from dynamicppr_spark.functions.similarity import md5_planes
+
+    p = md5_planes(3, 5)
+    assert p.shape == (3, 5)
+    for j in range(3):
+        for d in range(1, 6):
+            h = hashlib.md5(f"{j}:{d}".encode()).hexdigest()[:8]
+            assert p[j, d - 1] == int(h, 16) / 2**31 - 1
+    assert (p >= -1).all() and (p < 1).all()
+
+
+def test_hyperplane_signatures_match_numpy(spark):
+    """Spark-side signatures == straight numpy evaluation of the same
+    md5 plane family (UDF plumbing adds nothing)."""
+    from dynamicppr_spark.functions.similarity import (
+        hyperplane_signatures,
+        md5_planes,
+    )
+
+    rng = np.random.default_rng(123)
+    vecs = rng.standard_normal((40, 16)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = df_to_map(
+        hyperplane_signatures(emb, dim=16, n_planes=8), ["vec_id"], "bucket"
+    )
+    planes = md5_planes(8, 16)
+    bits = (vecs.astype(np.float64) @ planes.T) > 0
+    weights = (1 << np.arange(8)).astype(np.int64)
+    want = bits.astype(np.int64) @ weights
+    assert got == {i: int(want[i]) for i in range(40)}
+
+
+def test_min_vid_cache_populated(spark):
+    import __spark_entry__ as entrymod
+
+    entrymod._MIN_VID_CACHE.clear()
+    df = entrymod.queries()["ppr_top20"](spark, entrymod.SF0001)
+    assert df.count() > 0
+    assert entrymod.SF0001 in entrymod._MIN_VID_CACHE

@@ -101,6 +101,11 @@ def main() -> None:
     ap.add_argument("--out", help="JSON dump path for --only")
     ap.add_argument("--assemble", nargs=2, metavar=("LO_JSON", "HI_JSON"),
                     help="skip running; build BASELINE.md from two dumps")
+    ap.add_argument("--section", nargs=3, action="append", default=[],
+                    metavar=("TITLE", "LO_JSON", "HI_JSON"),
+                    help="additional low/high dump pair rendered as its own "
+                         "section (e.g. the clones run, a second "
+                         "operating point); repeatable")
     args = ap.parse_args()
     factor = args.high / args.low
 
@@ -140,66 +145,115 @@ def main() -> None:
         print(json.dumps({"efficiency": effs, "low": lo, "high": hi}))
         return
 
+    def pair_tables(plo, phi):
+        """Kernel-efficiency + per-query tables for one (lo, hi) pair."""
+        f = phi["cpus"] / plo["cpus"]
+        out = [
+            f"Graph: {plo.get('n_vertices')} vertices, "
+            f"{plo.get('n_edges')} edges (clones={plo.get('graph_clones', 1)}); "
+            f"masters `{plo.get('_master')}` -> `{phi.get('_master')}` "
+            f"(factor {f:.0f}x); shuffle partitions "
+            f"{plo['shuffle_partitions']} / {phi['shuffle_partitions']}; "
+            f"repeats per kernel query: {plo.get('repeats', 1)} "
+            "(MEDIANS reported, min/max spread in the raw JSON).",
+            "",
+            "| kernel | throughput @N | throughput @kN | efficiency |",
+            "|---|---|---|---|",
+        ]
+        for label, key in KERNEL_THROUGHPUTS.items():
+            if key not in plo and key not in phi:
+                continue
+            tl, th = plo.get(key, 0.0), phi.get(key, 0.0)
+            eff = th / (f * tl) if tl else 0.0
+            out.append(f"| {label} | {tl:.3f} | {th:.3f} | **{eff:.3f}** |")
+        out += ["", "| query | sec @N | sec @kN | speedup |", "|---|---|---|---|"]
+        for q in plo["queries"]:
+            a, b = plo["queries"][q], phi["queries"].get(q, 0.0)
+            out.append(f"| {q} | {a:.2f} | {b:.2f} | {a/b if b else 0:.2f}x |")
+        return out
+
+    sections = []
+    for title, lo_path, hi_path in args.section:
+        sections.append(
+            (title,
+             json.loads(Path(lo_path).read_text()),
+             json.loads(Path(hi_path).read_text()))
+        )
+
+    membw = None
+    membw_path = REPO / "BENCH" / "membw.json"
+    if membw_path.exists():
+        membw = json.loads(membw_path.read_text())
+
     lines = [
-        "# BENCH — measured baseline + scaling efficiency (round 3)",
+        "# BENCH — measured baseline + scaling efficiency (round 4)",
         "",
         f"Input: `{args.sf_dir}` (sf={lo['sf']}), identical code/data at",
-        f"`{master(args.low)}` (N) vs `{master(args.high)}` (4N) —",
-        "sandbox stand-in for N vs 4N executors (no real cluster; per",
-        "driver instruction). efficiency = throughput(4N) / "
-        f"({factor:.0f} x throughput(N)); target >= 0.8 for the",
+        "two parallelism levels — sandbox stand-in for N vs kN executors",
+        "(no real cluster; per driver instruction). efficiency =",
+        "throughput(kN) / (k x throughput(N)); target >= 0.8 for the",
         "cluster-size criterion in BASELINE.json.",
         "",
-        f"Graph: {lo.get('n_vertices')} vertices, {lo.get('n_edges')} edges "
-        f"(clones={lo.get('graph_clones', 1)});",
-        f"shuffle partitions: {lo['shuffle_partitions']} (N) / "
-        f"{hi['shuffle_partitions']} (4N); repeats per kernel query: "
-        f"{lo.get('repeats', 1)} (medians reported, spread in raw JSON).",
+        "## Primary pair",
         "",
-        "| kernel | throughput @N | throughput @4N | efficiency |",
-        "|---|---|---|---|",
     ]
-    for label, key in KERNEL_THROUGHPUTS.items():
-        tl, th = lo.get(key, 0.0), hi.get(key, 0.0)
-        eff = th / (factor * tl) if tl else 0.0
-        lines.append(f"| {label} | {tl:.3f} | {th:.3f} | **{eff:.3f}** |")
-    lines += [
-        "",
-        "| query | sec @N | sec @4N | speedup |",
-        "|---|---|---|---|",
-    ]
-    for q in lo["queries"]:
-        a, b = lo["queries"][q], hi["queries"].get(q, 0.0)
-        lines.append(f"| {q} | {a:.2f} | {b:.2f} | {a/b if b else 0:.2f}x |")
+    lines += pair_tables(lo, hi)
+    for title, plo, phi in sections:
+        lines += ["", f"## {title}", ""]
+        lines += pair_tables(plo, phi)
+
+    if membw:
+        lines += [
+            "",
+            "## Hardware envelope (memory bandwidth)",
+            "",
+            "Spark-free numpy triad, barrier-synchronized processes",
+            "(tools/membw_probe.py; max over repeated runs — shared-tenant",
+            "noise makes single runs vary ~2x). Aggregate GB/s by worker",
+            "count, and the resulting CEILING on any bandwidth-bound",
+            "kernel's N -> 4N efficiency on this one box:",
+            "",
+            "| workers | GB/s |",
+            "|---|---|",
+        ]
+        bw = membw.get("triad_gbps_by_workers", {})
+        for k in sorted(bw, key=int):
+            lines.append(f"| {k} | {bw[k]} |")
+        for a, b in ((4, 16), (8, 32)):
+            if str(a) in bw and str(b) in bw:
+                ceil = bw[str(b)] / (b / a * bw[str(a)])
+                lines.append("")
+                lines.append(
+                    f"Ceiling {a} -> {b} workers: "
+                    f"{bw[str(b)]} / ({b//a} x {bw[str(a)]}) = **{ceil:.2f}**"
+                )
+
     lines += [
         "",
         "## Methodology & bottleneck analysis (measured)",
         "",
         "Workloads: 32-source batched PPR (the reference's batched-query",
         "model) for both the static kernels and the update stream; updates",
-        "are 200-edge batches applied to all 32 maintained sources.",
-        "`q_ppr_updates` runs the engine's auto mode (broadcast-CSR local",
-        "push, operators/local_push.py — the reference-parity in-memory",
-        "path, size-gated); `q_ppr_updates_df` is the distributed",
-        "DataFrame path that remains beyond the gate (the 100 TB path).",
-        "AQE is off in the fixed-size kernel loops (per-stage re-planning",
-        "is serial driver time); lineage is truncated every superstep with",
-        "checkpoint rotation; 64 shuffle partitions at both levels.",
-        "Kernel queries run BENCH_REPEATS times; the table reports the",
-        "MEDIAN (this box is a noisy shared tenant: single-shot deltas",
-        "under ~2x are not evidence — min/max spread is in the raw JSON).",
+        "are 200-edge batches applied to all 32 maintained sources —",
+        "round-4: BOTH the auto/bcsr path and the distributed df path now",
+        "maintain the same 32 sources, so their edge-updates/sec are",
+        "like-for-like. AQE is off in the fixed-size kernel loops",
+        "(per-stage re-planning is serial driver time); lineage is",
+        "truncated every superstep with checkpoint rotation. Kernel",
+        "queries run BENCH_REPEATS times; tables report MEDIANS (this box",
+        "is a noisy shared tenant: single-shot deltas under ~2x are not",
+        "evidence).",
         "",
-        "Round-3 df-update redesign (ppr.py apply_updates): one gated",
-        "O(batch*deg) collect, ONE tagged checkpoint job evaluating graph",
-        "deltas + the K2 adjustment (shared vectorized build_adjustment",
-        "over driver mini-CSRs) with observation-fused counts/L1, a",
-        "DELTA-ONLY re-push (push linearity), one merge job — ~4 jobs and",
-        "ONE O(E) probe scan per batch. Also fixed this round: a",
-        "per-checkpoint driver-cost DOUBLING on long update streams —",
-        "localCheckpoint leaves keep an origin-plan linkage whose chain",
-        "grows each superstep and whose stats re-walk is exponential;",
-        "rddtrack.detach_plan_origin severs it (50-batch soak now flat,",
-        "tests/test_soak.py).",
+        "The clones section (when present) multiplies per-superstep WORK",
+        "by BENCH_GRAPH_CLONES disjoint graph copies without changing",
+        "iteration counts — it separates the serial per-job floor",
+        "(constant per superstep) from per-byte costs (scale with work).",
+        "The second-operating-point section (when present) re-measures",
+        "the same kernels at local[4] -> local[16], where the measured",
+        "DRAM ceiling is HIGHER — if kernel efficiency tracks the membw",
+        "ceiling at both operating points, the bandwidth-envelope",
+        "explanation holds; if it stays flat, something else is the",
+        "bottleneck.",
         "",
         "Round-1 factor study (consolidated into --factor flags here):",
         "tmpfs shuffle dir HURT, shuffle compression off HURT, separate",
@@ -207,29 +261,15 @@ def main() -> None:
         "serialization dominates), bigger heap and bigger graphs were",
         "neutral, DataFrame scatter beat the Arrow/CSR cogroup mode.",
         "",
-        "Honest read of the table above: the >=0.8 efficiency criterion is",
-        "NOT met on this stand-in, and the direct reason is measured, not",
-        "asserted. A Spark-free numpy triad probe (tools/membw_probe.py,",
-        "barrier-synchronized processes, BENCH/membw.json) shows this",
-        "box's aggregate DRAM bandwidth grows only ~1.9x from 8 to 32",
-        "workers (53.6 -> 100.8 GB/s, max over repeated runs) — i.e. the",
-        "HARDWARE ceiling for any bandwidth-bound kernel's 8->32 scaling",
-        "efficiency on one box is ~0.47. The distributed PPR kernel",
-        "sits at that envelope; the broadcast-CSR / local kernels (pure",
-        "numpy sweeps, zero Spark overhead) are flat-to-negative for the",
-        "same reason — 8 concurrent sweeps already saturate the memory",
-        "subsystem. On a real N -> 4N EXECUTOR scale-up each node adds",
-        "its own DRAM channels, which is exactly the resource that does",
-        "not quadruple here. The round-3 clones run (BENCH_GRAPH_CLONES)",
-        "raises per-superstep work to amortize the serial per-job floor —",
-        "see the clones section below when present.",
-        "",
         "Raw JSON:",
         "```json",
         json.dumps(lo),
         json.dumps(hi),
-        "```",
     ]
+    for title, plo, phi in sections:
+        lines.append(json.dumps(plo))
+        lines.append(json.dumps(phi))
+    lines += ["```"]
     out = REPO / "BENCH"
     out.mkdir(exist_ok=True)
     (out / "BASELINE.md").write_text("\n".join(lines) + "\n")
