@@ -79,6 +79,14 @@ def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(_cooccur_graph(spark, sf_dir))
 
 
+def _q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex incident-triangle counts (K6 per-vertex variant) —
+    three-way-join SQL-expressible, so DuckDB-oracle-checked."""
+    from dynamicppr_spark.operators.triangles import per_vertex_triangles
+
+    return per_vertex_triangles(_cooccur_graph(spark, sf_dir))
+
+
 def _q_top_cooccur_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _cooccur_graph(spark, sf_dir)
     part = load_table(spark, sf_dir, "part")
@@ -444,6 +452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edges_part_cooccur": _q_edges,
         "degree_distribution": _q_degree_distribution,
         "triangle_count": _q_triangles,
+        "triangles_per_vertex": _q_triangles_per_vertex,
         "top_cooccur_parts": _q_top_cooccur_parts,
         "cooccur_brand_cube": _q_cooccur_brand_cube,
         "tpch_q1_pricing": _q_tpch_q1,
@@ -790,6 +799,23 @@ SELECT count(*)::BIGINT AS n
 FROM und e1
 JOIN und e2 ON e1.dst = e2.src
 JOIN und e3 ON e3.src = e1.src AND e3.dst = e2.dst""",
+        "triangles_per_vertex": f"""
+WITH {_EDGES},
+tri AS (
+  SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+  FROM und e1
+  JOIN und e2 ON e1.dst = e2.src
+  JOIN und e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+corners AS (
+  SELECT x AS vid FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+),
+verts AS (SELECT DISTINCT src AS vid FROM e)
+SELECT v.vid, COALESCE(c.n, 0)::BIGINT AS triangles
+FROM verts v
+LEFT JOIN (SELECT vid, count(*) AS n FROM corners GROUP BY vid) c USING (vid)""",
         "top_cooccur_parts": f"""
 WITH {_EDGES},
 deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)

@@ -92,7 +92,12 @@ def _canon_cached(graph: LinkGraph) -> DataFrame:
     return c
 
 
-def _triangles_touching(delta: DataFrame, edges: DataFrame) -> DataFrame:
+def _triangles_touching(
+    delta: DataFrame,
+    edges: DataFrame,
+    keep: list | None = None,
+    wedge_broadcast_max_rows: int = 5_000_000,
+) -> DataFrame:
     """Distinct triangles (x<y<z) of canonical edge set ``edges`` that
     contain at least one ``delta`` edge (``delta`` ⊆ ``edges``, both
     canonical a<b pairs; ``delta`` is batch-sized and broadcast).
@@ -102,7 +107,15 @@ def _triangles_touching(delta: DataFrame, edges: DataFrame) -> DataFrame:
     each survivor to a triple and taking DISTINCT counts every touched
     triangle exactly once — no inclusion-exclusion bookkeeping for
     triangles with 2 or 3 delta edges, and the distinct runs over only
-    O(|delta| * deg) rows."""
+    O(|delta| * deg) rows.
+
+    The wedge set is O(|delta| * deg), which a hub delete makes huge —
+    so it is materialized and COUNTED before the closing probe, and only
+    broadcast under ``wedge_broadcast_max_rows`` (shuffled equi-join
+    beyond: same O(E) probe without shipping an unbounded table to every
+    executor — the guard discipline of components.py round-4). The
+    persisted wedge is appended to ``keep`` for the caller to unpersist
+    after materializing the result."""
     adj = edges.select(F.col("a").alias("v"), F.col("b").alias("w")).unionByName(
         edges.select(F.col("b").alias("v"), F.col("a").alias("w"))
     )
@@ -117,9 +130,15 @@ def _triangles_touching(delta: DataFrame, edges: DataFrame) -> DataFrame:
             F.col("db").alias("wb"),
             F.col("w").alias("wc"),
         )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if keep is not None:
+        keep.append(wedge)
+    n_wedge = wedge.count()
+    probe = (
+        F.broadcast(wedge) if n_wedge <= wedge_broadcast_max_rows else wedge
     )
     closed = adj.join(
-        F.broadcast(wedge),
+        probe,
         (F.col("v") == F.col("wb")) & (F.col("w") == F.col("wc")),
     ).select("wa", "wb", "wc")
     tri = closed.select(
@@ -131,7 +150,10 @@ def _triangles_touching(delta: DataFrame, edges: DataFrame) -> DataFrame:
 
 
 def triangle_delta(
-    old_graph: LinkGraph, new_graph: LinkGraph, batch: DataFrame
+    old_graph: LinkGraph,
+    new_graph: LinkGraph,
+    batch: DataFrame,
+    keep: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(gained, lost) triangle triples (x,y,z) between the two graphs.
 
@@ -157,8 +179,8 @@ def triangle_delta(
     new_hit = e_new.join(F.broadcast(bp), ["a", "b"], "left_semi")
     added = new_hit.join(old_hit, ["a", "b"], "left_anti")
     removed = old_hit.join(new_hit, ["a", "b"], "left_anti")
-    gained = _triangles_touching(added, e_new)
-    lost = _triangles_touching(removed, e_old)
+    gained = _triangles_touching(added, e_new, keep=keep)
+    lost = _triangles_touching(removed, e_old, keep=keep)
     return gained, lost
 
 
@@ -179,9 +201,15 @@ def triangle_count_incremental(
 
     ``info`` (optional) receives gained/lost counts."""
     g2 = graph.with_updates(batch)
-    gained, lost = triangle_delta(graph, g2, batch)
+    keep: list = []
+    gained, lost = triangle_delta(graph, g2, batch, keep=keep)
     n_gain = gained.count()
     n_lost = lost.count()
+    for df in keep:
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001
+            pass
     if info is not None:
         info.update(gained=n_gain, lost=n_lost)
     return prev_count + n_gain - n_lost, g2
@@ -206,7 +234,8 @@ def per_vertex_triangles_incremental(
     checkpoint discipline every maintained state in this engine follows
     (operators/superstep.py)."""
     g2 = graph.with_updates(batch)
-    gained, lost = triangle_delta(graph, g2, batch)
+    keep: list = []
+    gained, lost = triangle_delta(graph, g2, batch, keep=keep)
 
     def _corners(tri: DataFrame, sign: int) -> DataFrame:
         return tri.select(
@@ -219,7 +248,15 @@ def per_vertex_triangles_incremental(
         .unionByName(_corners(lost, -1))
         .groupBy("vid")
         .agg(F.sum("d").alias("d"))
+        # eager: the adjustment table is O(|gained|+|lost|) rows — cutting
+        # it to a leaf here lets the intermediate wedge caches go away now
+        .localCheckpoint(eager=True)
     )
+    for df in keep:
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001
+            pass
     out = (
         g2.vertices.join(
             prev_counts.withColumnRenamed("triangles", "prev"), "vid", "left"

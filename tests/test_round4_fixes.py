@@ -254,6 +254,32 @@ def test_triangle_noop_batch_is_noop(spark, make_graph):
     g.release()
 
 
+def test_triangle_wedge_broadcast_gated(spark):
+    """The closing-probe join broadcasts the wedge set only under the row
+    cap (a hub delete makes wedges O(deg) — unbounded). The wedge is
+    materialized (persisted + counted) before this join, so the
+    batch-probe's own broadcast hint lives INSIDE the cached relation's
+    plan; the outer logical plan carries exactly the wedge hint — present
+    under the cap, absent at cap 0. Results identical either way."""
+    from dynamicppr_spark.operators.triangles import _triangles_touching
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(6) for b in range(a + 1, 6)], "a bigint, b bigint"
+    )  # K6 clique, canonical pairs
+    delta = spark.createDataFrame([(0, 1)], "a bigint, b bigint")
+
+    tri_b = _triangles_touching(delta, edges)
+    plan_b = tri_b._jdf.queryExecution().optimizedPlan().toString()
+    assert plan_b.count("strategy=broadcast") == 1
+
+    tri_s = _triangles_touching(delta, edges, wedge_broadcast_max_rows=0)
+    plan_s = tri_s._jdf.queryExecution().optimizedPlan().toString()
+    assert plan_s.count("strategy=broadcast") == 0
+    assert sorted(map(tuple, tri_b.collect())) == sorted(
+        map(tuple, tri_s.collect())
+    )
+
+
 # ------------------------------------------------------- md5 LSH planes
 def test_md5_planes_pinned():
     """Plane family pinned to its definition: p[j][d-1] =
