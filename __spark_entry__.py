@@ -423,6 +423,15 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash64(docs)
 
 
+def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over label-mean centroids (functions/similarity.py::
+    ivf_topk) — deterministic quantizer, so exactly oracle-checkable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, k=5, n_probe=2, n_queries=10).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
 def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.lsh_topk(emb, k=5, n_planes=6, n_queries=10).withColumn(
@@ -486,6 +495,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # md5-plane LSH ANN (round-4: planes derived from md5 like the
         # minhash family, so the DuckDB oracle is exact)
         "embedding_lsh_ann": _q_lsh_ann,
+        # IVF ANN over deterministic label-centroid cells (round-4)
+        "embedding_ivf_ann": _q_ivf_ann,
         # rows-only (engine-specific sketch internals; pytest gates)
         "events_sketch": _q_events_sketch,
     }
@@ -989,6 +1000,57 @@ sc AS (
                / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))),
                6) AS cos
   FROM q JOIN e USING (bucket) WHERE query_id <> e.vec_id
+)
+SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, vec_id) AS rank
+      FROM sc)
+WHERE rank <= 5""",
+        "embedding_ivf_ann": """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent0 AS (
+  SELECT label, CAST(u.i - 1 AS INTEGER) AS pos,
+         round(CAST(sum(CAST(CAST(embedding[u.i] AS DOUBLE) AS DECIMAL(18,9)))
+                    AS DOUBLE) / count(*), 6) AS c
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+  GROUP BY label, pos
+),
+cent AS (SELECT label AS clabel, list(c ORDER BY pos) AS cv FROM cent0 GROUP BY label),
+asn AS (
+  SELECT vec_id, clabel FROM (
+    SELECT e.vec_id, c.clabel,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_dot_product(e.v, c.cv)
+                            / (sqrt(list_dot_product(e.v, e.v))
+                               * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                      c.clabel) AS rn
+    FROM e, cent c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e ORDER BY vec_id LIMIT 10),
+probe AS (
+  SELECT query_id, clabel FROM (
+    SELECT q.query_id, c.clabel,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_dot_product(q.qv, c.cv)
+                            / (sqrt(list_dot_product(q.qv, q.qv))
+                               * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                      c.clabel) AS rn
+    FROM q, cent c
+  ) WHERE rn <= 2
+),
+sc AS (
+  SELECT p.query_id, a.vec_id,
+         round(list_dot_product(q.qv, e.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(e.v, e.v))), 6) AS cos
+  FROM probe p
+  JOIN asn a USING (clabel)
+  JOIN q ON p.query_id = q.query_id
+  JOIN e ON a.vec_id = e.vec_id
+  WHERE a.vec_id <> p.query_id
 )
 SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id

@@ -283,6 +283,32 @@ def main() -> None:
         with timed("q_triangles"):
             triangle_count(g).collect()
 
+    # -------- K6 incremental maintenance under ±edge batches (round-4):
+    # gained/lost touched-triple deltas instead of a full recount
+    if want("q_triangles_updates"):
+        from dynamicppr_spark.operators.triangles import (
+            triangle_count_incremental,
+        )
+
+        tri_count = triangle_count(g).collect()[0]["n"]
+        tg = g
+        n_tri_batches = int(os.environ.get("BENCH_TRI_BATCHES", "2"))
+        tri_batches = _update_batches(
+            spark, extras["n_vertices"], seed=1042, n_batches=n_tri_batches
+        )
+        n_ups = sum(b.count() for b in tri_batches)  # outside the window
+        with timed("q_triangles_updates"):
+            for b in tri_batches:
+                tri_count, tg2 = triangle_count_incremental(tg, tri_count, b)
+                if tg is not g:
+                    tg.release(keep=tg2)
+                tg = tg2
+        extras["triangle_updates_per_sec"] = round(
+            n_ups / timings["q_triangles_updates"], 4
+        )
+        if tg is not g:
+            tg.release(keep=g)
+
     # -------- dedup + similarity over documents/embeddings
     from dynamicppr_spark.functions.dedup import minhash_lsh_pairs
     from dynamicppr_spark.functions.similarity import cosine_topk

@@ -116,6 +116,99 @@ def hyperplane_signatures(
     return emb.select("vec_id", signature(F.col("embedding")).alias("bucket"))
 
 
+def label_centroids(emb: DataFrame) -> DataFrame:
+    """(label, cv array<double>) — per-label mean embedding, rounded.
+
+    Exact DECIMAL accumulation then round(6) per position (the same
+    cross-engine determinism device as embedding_centroids): the centroid
+    table is tiny (n_labels x dim) and broadcast everywhere it is used."""
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    per = ex.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("val").cast("double").cast("decimal(18,9)"))
+            .cast("double")
+            / F.count("*"),
+            6,
+        ).alias("c")
+    )
+    return (
+        per.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("s"))
+        .select("label", F.col("s.c").alias("cv"))
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    n_queries: int = 10,
+) -> DataFrame:
+    """(query_id, vec_id, cos, rank): IVF-style ANN top-k.
+
+    Coarse quantizer = the per-label mean centroids (deterministic, no
+    trained state — which is what makes the whole query exactly
+    DuckDB-oracle-checkable, unlike k-means). Every vector is ASSIGNED to
+    its nearest centroid by rounded cosine (ties: label asc); a query
+    probes its ``n_probe`` nearest centroids and ranks only the vectors
+    assigned to those cells — the candidate set is ~n_probe/n_centroids
+    of the corpus instead of all of it.
+
+    Scale shape: the centroid table is broadcast (tiny); assignment is
+    one O(n * n_centroids) scan with a per-vector window (partitioned by
+    vec_id — no global window); the candidate join is an equi-join on the
+    cell label. The 100 TB growth path swaps the quantizer for trained
+    k-means centroids without touching the dataflow."""
+    cents = F.broadcast(
+        label_centroids(emb).select(
+            F.col("label").alias("clabel"), "cv"
+        )
+    )
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+
+    def _cos(a, b):
+        return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6)
+
+    scored_cells = e.crossJoin(cents).select(
+        "vec_id", "v", "clabel", _cos(F.col("v"), F.col("cv")).alias("ccos")
+    )
+    w_asn = Window.partitionBy("vec_id").orderBy(
+        F.desc("ccos"), F.asc("clabel")
+    )
+    asn = (
+        scored_cells.withColumn("rn", F.row_number().over(w_asn))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "clabel")
+    )
+    q = e.orderBy("vec_id").limit(n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    probe_scored = F.broadcast(q).crossJoin(cents).select(
+        "query_id", "qv", "clabel", _cos(F.col("qv"), F.col("cv")).alias("ccos")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("ccos"), F.asc("clabel")
+    )
+    probes = (
+        probe_scored.withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "clabel")
+    )
+    cand = F.broadcast(probes).join(asn, "clabel").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    scored = cand.select(
+        "query_id", "vec_id", _cos(F.col("qv"), F.col("v")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     k: int = 5,

@@ -55,6 +55,70 @@ def run_update_stream(
     return q
 
 
+class TriangleStreamState:
+    """Maintained triangle count under a streaming edge-update feed.
+
+    Pairs with ``run_triangle_stream``: holds (graph, count) and applies
+    ``triangle_count_incremental`` per update-batch — the K6 analogue of
+    PPREngine under ``run_update_stream``, so the streaming surface
+    maintains the same kernels the static API does."""
+
+    def __init__(self, graph, count: int | None = None):
+        from dynamicppr_spark.operators.triangles import triangle_count
+
+        self.graph = graph
+        self.count = (
+            int(triangle_count(graph).collect()[0]["n"])
+            if count is None
+            else int(count)
+        )
+        self.batches_applied = 0
+
+    def apply(self, batch_df: DataFrame) -> int:
+        from dynamicppr_spark.operators.triangles import (
+            triangle_count_incremental,
+        )
+
+        new_count, g2 = triangle_count_incremental(
+            self.graph, self.count, batch_df
+        )
+        self.graph.release(keep=g2)
+        self.graph = g2
+        self.count = new_count
+        self.batches_applied += 1
+        return new_count
+
+
+def run_triangle_stream(
+    state: TriangleStreamState,
+    stream_df: DataFrame,
+    watermark: str = "10 minutes",
+    query_name: str = "triangle_updates",
+):
+    """Attach a TriangleStreamState to a streaming update feed (same
+    micro-batch == update-batch discipline as ``run_update_stream``)."""
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bids = [
+            r["batch_id"]
+            for r in batch_df.select("batch_id").distinct().orderBy("batch_id").collect()
+        ]
+        for bid in bids:
+            state.apply(
+                batch_df.filter(F.col("batch_id") == bid).select("op", "src", "dst")
+            )
+
+    return (
+        stream_df.withWatermark("ts", watermark)
+        .writeStream.outputMode("append")
+        .queryName(query_name)
+        .foreachBatch(apply_batch)
+        .start()
+    )
+
+
 def windowed_update_stats(stream_df: DataFrame, window: str = "1 minute") -> DataFrame:
     """Watermarked tumbling-window op counts (monitoring surface)."""
     return (

@@ -327,3 +327,28 @@ def test_min_vid_cache_populated(spark):
     df = entrymod.queries()["ppr_top20"](spark, entrymod.SF0001)
     assert df.count() > 0
     assert entrymod.SF0001 in entrymod._MIN_VID_CACHE
+
+
+def test_ivf_ann_recall(spark):
+    """IVF with label-mean centroids: a near-twin in the same cluster is
+    retrieved at rank 1 (exactness vs DuckDB is the driver oracle's job —
+    this pins retrieval QUALITY on clustered data)."""
+    from dynamicppr_spark.functions import similarity as S
+
+    rng = np.random.default_rng(17)
+    centers = rng.standard_normal((4, 16)) * 3
+    rows = []
+    for i in range(24):
+        lab = i % 4
+        v = centers[lab] + rng.standard_normal(16) * 0.3
+        twin = v + rng.standard_normal(16) * 0.01
+        rows.append((i, [float(x) for x in v], lab))
+        rows.append((100 + i, [float(x) for x in twin], lab))
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    got = S.ivf_topk(emb, k=1, n_probe=2, n_queries=10).collect()
+    hits = sum(
+        1 for r in got if r.rank == 1 and r.vec_id == r.query_id + 100
+    )
+    assert hits >= 9  # twin shares the cell and dominates cosine

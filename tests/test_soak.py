@@ -86,3 +86,56 @@ def test_soak_50_batches_two_compactions(spark, make_graph):
         if int(r["source"]) == 0 and int(r["vid"]) < n:
             got[int(r["vid"])] = float(r["score"])
     np.testing.assert_allclose(got, want, atol=1e-2)
+
+
+def test_soak_triangles_30_batches(spark, make_graph):
+    """Round-4 soak for the incremental-K6 path: 30 maintained batches
+    (crossing compaction), bounded block storage, stable latency, exact
+    final count — the r3 exponential-driver-cost bug class only shows up
+    on long streams, so every maintained kernel gets a soak."""
+    from dynamicppr_spark.operators.triangles import (
+        triangle_count,
+        triangle_count_incremental,
+    )
+
+    edges, n = fixtures.rmat_graph(n=80, m=400, seed=23)
+    g = make_graph(edges, n)
+    g.compact_threshold_rows = 40
+    count = triangle_count(g).collect()[0]["n"]
+
+    rng = np.random.default_rng(29)
+    cur_set = {tuple(e) for e in np.unique(edges, axis=0)}
+    lat, blocks = [], []
+    for b in range(30):
+        rows = []
+        for _ in range(3):
+            if cur_set and rng.random() < 0.4:
+                s, d = list(cur_set)[int(rng.integers(0, len(cur_set)))]
+                rows.append(("-", int(s), int(d)))
+                cur_set.discard((s, d))
+            else:
+                s, d = int(rng.integers(0, n)), int(rng.integers(0, n))
+                if s != d:
+                    rows.append(("+", s, d))
+                    cur_set.add((s, d))
+        if not rows:
+            continue
+        batch = spark.createDataFrame(rows, "op string, src bigint, dst bigint")
+        t0 = time.time()
+        count, g2 = triangle_count_incremental(g, count, batch)
+        lat.append(time.time() - t0)
+        g.release(keep=g2)
+        g = g2
+        ids = persistent_rdd_ids(spark.sparkContext)
+        blocks.append(len(ids) if ids is not None else 0)
+
+    q = max(1, len(blocks) // 4)
+    assert max(blocks[-q:]) <= max(blocks[:q]) + 10, (
+        max(blocks[:q]), max(blocks[-q:]), blocks[-8:]
+    )
+    med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+    assert med(lat[-q:]) <= 3.0 * med(lat[:q]) + 1.0, (med(lat[:q]), med(lat[-q:]))
+
+    final_edges = np.array(sorted(cur_set), dtype=np.int64)
+    assert count == oracle.triangle_count(final_edges, n)
+    g.release()

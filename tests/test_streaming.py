@@ -68,3 +68,26 @@ def test_windowed_update_stats(spark, update_dir, tmp_path):
     }
     total = sum(r.n for r in rows)
     assert total <= len(script)
+
+
+def test_stream_drives_incremental_triangles(spark, make_graph, update_dir):
+    """K6 analogue of the PPR stream test: the maintained count after the
+    stream equals a full recount on the final graph."""
+    from dynamicppr_spark.streaming.updates import (
+        TriangleStreamState,
+        run_triangle_stream,
+    )
+
+    path, edges, n, script = update_dir
+    state = TriangleStreamState(make_graph(edges, n))
+    assert state.count == oracle.triangle_count(edges, n)
+    stream = spark.readStream.schema(UPDATE_SCHEMA).parquet(path)
+    q = run_triangle_stream(state, stream)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert state.batches_applied == 2
+    final_edges = fixtures.apply_script_numpy(edges, script)
+    assert state.count == oracle.triangle_count(final_edges, n)
+    state.graph.release()
