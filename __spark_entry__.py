@@ -439,6 +439,54 @@ def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY §2d round-4): each click joined to the user's
+    latest purchase value at-or-before it — union + running-last window
+    (one keyed shuffle), oracle = DuckDB's native ASOF JOIN."""
+    from dynamicppr_spark.functions.relational import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+    )
+    out = asof_join(clicks, purch, keys=["user_id"], ts="ts",
+                    right_values=["pval"])
+    return out.select(
+        "event_id", "user_id", F.round("pval_asof", 6).alias("last_purchase")
+    )
+
+
+def _q_events_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDAF surface (grouped-agg pandas UDF): per-type median —
+    order-free, so bit-exact vs SQL median."""
+    from dynamicppr_spark.functions.relational import median_udaf
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(median_udaf("value"), 6).alias("median_value")
+    )
+
+
+def _q_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface: lateral word-position explosion over the
+    first 20 documents (split on single spaces == SQL string_split)."""
+    from dynamicppr_spark.functions.relational import register_udtfs
+
+    register_udtfs(spark)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 20
+    ).createOrReplaceTempView("_docs_udtf")
+    return spark.sql(
+        "SELECT doc_id, f.pos, f.word "
+        "FROM _docs_udtf, LATERAL split_words(text) f"
+    )
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column pipeline over documents-derived media: mapInPandas
     feature extraction; n_bytes and the first digest byte are exact
@@ -497,6 +545,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_ann": _q_lsh_ann,
         # IVF ANN over deterministic label-centroid cells (round-4)
         "embedding_ivf_ann": _q_ivf_ann,
+        # §2d upgrades (round-4): as-of join, Python UDAF, Python UDTF
+        "events_asof_purchase": _q_events_asof,
+        "events_median_udaf": _q_events_median_udaf,
+        "doc_word_positions": _q_word_positions,
         # rows-only (engine-specific sketch internals; pytest gates)
         "events_sketch": _q_events_sketch,
     }
@@ -1057,6 +1109,20 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cos DESC, vec_id) AS rank
       FROM sc)
 WHERE rank <= 5""",
+        "events_asof_purchase": """
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts, max(value) AS pval
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+SELECT c.event_id, c.user_id, round(p.pval, 6) AS last_purchase
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""",
+        "events_median_udaf": """
+SELECT event_type, round(median(value), 6) AS median_value
+FROM events GROUP BY event_type""",
+        "doc_word_positions": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+           FROM documents WHERE doc_id < 20)
+SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS pos, ws[u.i] AS word
+FROM w, UNNEST(generate_series(1, len(ws))) AS u(i)""",
         "supplier_customer_degrees": """
 WITH e AS (
   SELECT DISTINCT CAST(l.l_suppkey AS BIGINT) AS src,

@@ -18,6 +18,8 @@ import numpy as np
 import pandas as pd
 import pytest
 
+from pyspark.sql import functions as F
+
 from tests import fixtures, oracle
 from tests.conftest import df_to_map
 
@@ -352,3 +354,28 @@ def test_ivf_ann_recall(spark):
         1 for r in got if r.rank == 1 and r.vec_id == r.query_id + 100
     )
     assert hits >= 9  # twin shares the cell and dominates cosine
+
+
+def test_asof_join_semantics(spark):
+    """As-of join edge semantics: inclusive tie (right at equal ts is
+    taken), no-match -> NULL, latest-wins across multiple earlier rows."""
+    from dynamicppr_spark.functions.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "2026-01-01 00:00:05"),
+         (2, 10, "2026-01-01 00:00:10"),
+         (3, 10, "2026-01-01 00:00:02"),
+         (4, 20, "2026-01-01 00:00:07")],
+        "event_id bigint, user_id bigint, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(10, "2026-01-01 00:00:03", 1.0),
+         (10, "2026-01-01 00:00:10", 2.0)],
+        "user_id bigint, ts string, pval double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = asof_join(left, right, keys=["user_id"], ts="ts",
+                    right_values=["pval"])
+    got = {r.event_id: r.pval_asof for r in out.collect()}
+    # e1 @5s -> 1.0 (latest <= 5); e2 @10s -> 2.0 (inclusive tie);
+    # e3 @2s -> None (no earlier); e4 user 20 -> None (no rows)
+    assert got == {1: 1.0, 2: 2.0, 3: None, 4: None}
