@@ -379,3 +379,34 @@ def test_asof_join_semantics(spark):
     # e1 @5s -> 1.0 (latest <= 5); e2 @10s -> 2.0 (inclusive tie);
     # e3 @2s -> None (no earlier); e4 user 20 -> None (no rows)
     assert got == {1: 1.0, 2: 2.0, 3: None, 4: None}
+
+
+@pytest.mark.parametrize("n_sources", [32, 33])
+def test_dynamic_df_many_sources(spark, make_graph, n_sources):
+    """K2 df-mode at the bench's 32 maintained sources (and at 33 — one
+    past the per-source-freeze boundary, exercising the aggregated-L1
+    path): every source's maintained scores match the exact solve on the
+    final graph. This is the correctness side of the round-4
+    edge_updates_per_sec_df-at-32-sources bench number."""
+    from dynamicppr_spark.operators.ppr import PPREngine
+
+    edges, n = fixtures.rmat_graph(n=60, m=320, seed=41)
+    script = fixtures.update_script(edges, n, "mixed", n_batches=2, seed=13)
+    final_edges = fixtures.apply_script_numpy(edges, script)
+    eps = 1e-4
+    sources = list(range(n_sources))
+    eng = PPREngine(make_graph(edges, n), sources, eps=eps, mode="df")
+    eng.push_to_convergence()
+    for bid in sorted(script["batch_id"].unique()):
+        b = script[script["batch_id"] == bid][["op", "src", "dst"]]
+        eng.apply_updates(spark.createDataFrame(b))
+    got = {(int(r["source"]), int(r["vid"])): float(r["score"])
+           for r in eng.scores().collect()}
+    rng = np.random.default_rng(7)
+    for s in rng.choice(n_sources, size=6, replace=False):
+        want = oracle.ppr_exact(final_edges, n, int(s))
+        sv = np.zeros(n)
+        for (src, vid), sc in got.items():
+            if src == int(s) and vid < n:
+                sv[vid] = sc
+        np.testing.assert_allclose(sv, want, atol=eps)
