@@ -344,6 +344,13 @@ def main() -> None:
         "executor JVMs (local-cluster) HURT at this data size (netty",
         "serialization dominates), bigger heap and bigger graphs were",
         "neutral, DataFrame scatter beat the Arrow/CSR cogroup mode.",
+        "Round-4 additions: PR steps_per_job 4 -> 8 -> 15 is FLAT at",
+        "local[32] (the serial floor is per-STAGE, not per-job —",
+        "composition does not merge shuffle stages), and steps_per_job=4",
+        "on the K2 df delta re-push HURTS (20.2 -> 14.0 upd/s, n=3",
+        "medians: tiny delta states win with per-step broadcast",
+        "frontiers, which composition forfeits) — both knobs stay at",
+        "their defaults.",
         "",
         "Raw JSON:",
         "```json",
