@@ -119,6 +119,105 @@ def run_triangle_stream(
     )
 
 
+class _MaintainedLabelState:
+    """Shared shape for CC/LPA maintained label tables under a stream:
+    holds (graph, labels DataFrame) and applies the kernel's incremental
+    function per update-batch, cutting the new labels' lineage
+    (localCheckpoint) before releasing the predecessor graph — the
+    maintained-state discipline every kernel here follows."""
+
+    label_col: str = "component"
+
+    def __init__(self, graph, labels: DataFrame | None = None):
+        self.graph = graph
+        self.labels = (
+            self._cold(graph) if labels is None else labels
+        ).localCheckpoint(eager=True)
+        self.batches_applied = 0
+
+    def apply(self, batch_df: DataFrame) -> DataFrame:
+        new_labels, g2 = self._incremental(self.graph, self.labels, batch_df)
+        new_labels = new_labels.localCheckpoint(eager=True)
+        self.graph.release(keep=g2)
+        self.graph = g2
+        self.labels = new_labels
+        self.batches_applied += 1
+        return new_labels
+
+
+class ComponentsStreamState(_MaintainedLabelState):
+    """K4 maintained under a stream: insert batches warm-merge, delete
+    batches take the guarded decremental path (operators/components.py)."""
+
+    label_col = "component"
+
+    @staticmethod
+    def _cold(graph):
+        from dynamicppr_spark.operators.components import connected_components
+
+        return connected_components(graph)
+
+    @staticmethod
+    def _incremental(graph, labels, batch):
+        from dynamicppr_spark.operators.components import (
+            connected_components_incremental,
+        )
+
+        return connected_components_incremental(graph, labels, batch)
+
+
+class LPAStreamState(_MaintainedLabelState):
+    """K5 maintained under a stream: warm-started until-stable LPA (a
+    stable labeling of each updated graph; equals the cold labeling when
+    the structure is unperturbed — see operators/lpa.py)."""
+
+    label_col = "label"
+
+    @staticmethod
+    def _cold(graph):
+        from dynamicppr_spark.operators.lpa import label_propagation
+
+        return label_propagation(graph, n_iter=50, until_stable=True)
+
+    @staticmethod
+    def _incremental(graph, labels, batch):
+        from dynamicppr_spark.operators.lpa import (
+            label_propagation_incremental,
+        )
+
+        return label_propagation_incremental(graph, labels, batch)
+
+
+def run_label_stream(
+    state: _MaintainedLabelState,
+    stream_df: DataFrame,
+    watermark: str = "10 minutes",
+    query_name: str = "label_updates",
+):
+    """Attach a Components/LPA stream state to a streaming update feed
+    (micro-batch == update-batch, like run_update_stream)."""
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bids = [
+            r["batch_id"]
+            for r in batch_df.select("batch_id").distinct().orderBy("batch_id").collect()
+        ]
+        for bid in bids:
+            state.apply(
+                batch_df.filter(F.col("batch_id") == bid).select("op", "src", "dst")
+            )
+
+    return (
+        stream_df.withWatermark("ts", watermark)
+        .writeStream.outputMode("append")
+        .queryName(query_name)
+        .foreachBatch(apply_batch)
+        .start()
+    )
+
+
 def windowed_update_stats(stream_df: DataFrame, window: str = "1 minute") -> DataFrame:
     """Watermarked tumbling-window op counts (monitoring surface)."""
     return (

@@ -91,3 +91,59 @@ def test_stream_drives_incremental_triangles(spark, make_graph, update_dir):
     final_edges = fixtures.apply_script_numpy(edges, script)
     assert state.count == oracle.triangle_count(final_edges, n)
     state.graph.release()
+
+
+def test_stream_drives_incremental_cc(spark, make_graph, update_dir):
+    """K4 under the stream: final maintained labels == cold recompute on
+    the final graph (CC has a unique fixed point, so this is exact)."""
+    from dynamicppr_spark.operators.components import connected_components
+    from dynamicppr_spark.streaming.updates import (
+        ComponentsStreamState,
+        run_label_stream,
+    )
+    from tests.conftest import df_to_map
+
+    path, edges, n, script = update_dir
+    state = ComponentsStreamState(make_graph(edges, n))
+    stream = spark.readStream.schema(UPDATE_SCHEMA).parquet(path)
+    q = run_label_stream(state, stream, query_name="cc_updates")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert state.batches_applied == 2
+    got = df_to_map(state.labels, ["vid"], "component")
+    final_edges = fixtures.apply_script_numpy(edges, script)
+    want = oracle.connected_components(final_edges, n)
+    assert got == {v: int(want[v]) for v in range(n)}
+    state.graph.release()
+
+
+def test_stream_drives_incremental_lpa(spark, make_graph, update_dir):
+    """K5 under the stream: the maintained labeling is STABLE on the
+    final graph (LPA has no unique fixed point; stability is the
+    invariant — operators/lpa.py docstring)."""
+    from dynamicppr_spark.operators.lpa import label_propagation
+    from dynamicppr_spark.streaming.updates import (
+        LPAStreamState,
+        run_label_stream,
+    )
+    from tests.conftest import df_to_map
+
+    path, edges, n, script = update_dir
+    state = LPAStreamState(make_graph(edges, n))
+    stream = spark.readStream.schema(UPDATE_SCHEMA).parquet(path)
+    q = run_label_stream(state, stream, query_name="lpa_updates")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert state.batches_applied == 2
+    # stability: one more warm until-stable run changes nothing
+    again = label_propagation(
+        state.graph, n_iter=50, init_labels=state.labels, until_stable=True
+    )
+    assert df_to_map(again, ["vid"], "label") == df_to_map(
+        state.labels, ["vid"], "label"
+    )
+    state.graph.release()
