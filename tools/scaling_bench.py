@@ -250,7 +250,8 @@ def main() -> None:
     if p_ppr is not None:
         concl.append(
             f"- PPR-df 8->32 efficiency **{p_ppr:.3f}** vs the measured"
-            " ~0.47 DRAM ceiling — at (or above) the hardware envelope."
+            " ~0.42-0.47 DRAM ceiling (max-over-runs spread) — at or above"
+            " the hardware envelope."
         )
     for title, plo, phi in sections:
         c_k3 = eff_of(plo, phi, "pagerank_supersteps_per_sec")
@@ -271,7 +272,7 @@ def main() -> None:
             concl.append(
                 f"- PPR-df {plo['cpus']}->{phi['cpus']}: efficiency"
                 f" **{c_ppr:.3f}** vs that operating point's measured"
-                " ceiling (~0.71) — efficiency TRACKS the bandwidth ratio"
+                " ceiling (~0.65-0.71) — efficiency TRACKS the bandwidth ratio"
                 " at both operating points, which is what the envelope"
                 " explanation predicts and a fixed serial bug would not."
             )
