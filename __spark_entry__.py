@@ -36,6 +36,7 @@ from dynamicppr_spark.sources.tpch_graph import (  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
 _MIN_VID_CACHE: dict[str, int] = {}
+_EMB_DIM_CACHE: dict[str, int] = {}
 
 
 def _cooccur_graph(spark: SparkSession, sf_dir: str, parts: int = 16) -> LinkGraph:
@@ -434,7 +435,13 @@ def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.lsh_topk(emb, k=5, n_planes=6, n_queries=10).withColumn(
+    # embedding dim is a property of the INPUT table — cache per sf_dir
+    # (like _MIN_VID_CACHE) so repeated query calls skip the probe job
+    dim = _EMB_DIM_CACHE.get(sf_dir)
+    if dim is None:
+        dim = len(emb.select("embedding").first()[0])
+        _EMB_DIM_CACHE[sf_dir] = dim
+    return S.lsh_topk(emb, k=5, n_planes=6, n_queries=10, dim=dim).withColumn(
         "rank", F.col("rank").cast("int")
     )
 

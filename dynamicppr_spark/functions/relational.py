@@ -28,27 +28,46 @@ def asof_join(
     ts: str,
     right_values: list[str],
     suffix: str = "_asof",
+    check_unique_right: bool = False,
 ) -> DataFrame:
     """For each left row: the ``right_values`` of the LATEST right row
     with ``right.ts <= left.ts`` (inclusive) sharing ``keys`` — NULLs if
     no such row.
 
     Plan shape: tag-union the two inputs, one window over (keys) ordered
-    by (ts, side) with ``last(..., ignorenulls=True)`` carrying the right
-    values forward, keep left rows. ONE shuffle on the keys; no
-    nested-loop or range join, so it survives a 100x scale-up the same
-    way any keyed window does. Inclusive tie: right rows sort before left
-    rows at equal ts. Right rows must be unique per (keys, ts)
-    (pre-aggregate otherwise) and NULL right values are treated as
-    absent (ignorenulls carries the previous value past them)."""
+    by (ts, side) carrying the latest right ROW forward as a struct, keep
+    left rows. ONE shuffle on the keys; no nested-loop or range join, so
+    it survives a 100x scale-up the same way any keyed window does.
+    Inclusive tie: right rows sort before left rows at equal ts.
+
+    The right row travels as a single non-null STRUCT, so a NULL value in
+    the latest matching row is returned as-is (standard ASOF semantics,
+    matching DuckDB's native ASOF JOIN) instead of ``ignorenulls``
+    skipping back to an older non-null value.
+
+    Right rows must be unique per (keys, ts) — a violation silently
+    multiplies left rows through the union-window. ``check_unique_right``
+    (opt-in: one extra aggregate job) asserts the precondition loudly."""
+    if check_unique_right:
+        n_dup = (
+            right.groupBy(*keys, ts)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if n_dup:
+            raise ValueError(
+                "asof_join: right side has duplicate rows per "
+                f"({', '.join(keys)}, {ts}) — pre-aggregate the right side "
+                "(each duplicate multiplies matching left rows)"
+            )
     lcols = list(left.columns)
-    l = left
-    for v in right_values:
-        l = l.withColumn(f"_rv_{v}", F.lit(None).cast(right.schema[v].dataType))
-    l = l.withColumn("_side", F.lit(1))
-    r = right.select(
-        *keys, ts, *[F.col(v).alias(f"_rv_{v}") for v in right_values]
-    )
+    rrow = F.struct(*[F.col(v).alias(v) for v in right_values])
+    r = right.select(*keys, ts, rrow.alias("_rrow"))
+    l = left.withColumn(
+        "_rrow", F.lit(None).cast(r.schema["_rrow"].dataType)
+    ).withColumn("_side", F.lit(1))
     for c in lcols:
         if c not in r.columns:
             r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
@@ -59,14 +78,17 @@ def asof_join(
         .orderBy(F.col(ts).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = u
-    for v in right_values:
-        out = out.withColumn(
-            f"{v}{suffix}",
-            F.last(F.col(f"_rv_{v}"), ignorenulls=True).over(w),
+    carried = F.last(F.col("_rrow"), ignorenulls=True).over(w)
+    return (
+        u.withColumn("_carried", carried)
+        .filter(F.col("_side") == 1)
+        .select(
+            *lcols,
+            *[
+                F.col("_carried").getField(v).alias(f"{v}{suffix}")
+                for v in right_values
+            ],
         )
-    return out.filter(F.col("_side") == 1).select(
-        *lcols, *[f"{v}{suffix}" for v in right_values]
     )
 
 

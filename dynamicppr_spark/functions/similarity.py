@@ -16,6 +16,12 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import LongType
 
 
+# embedding dimension per DataFrame id — a probe (`first()`) is one driver
+# job; the dimension is a property of the input, so cache like the driver's
+# _MIN_VID_CACHE. Bounded; cleared wholesale on overflow (ids recycle).
+_DIM_CACHE: dict[int, int] = {}
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -138,11 +144,90 @@ def label_centroids(emb: DataFrame) -> DataFrame:
     )
 
 
+def _cos(a, b):
+    return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6)
+
+
+def _assign_cells(e: DataFrame, cents) -> DataFrame:
+    """(vec_id, v, clabel): nearest-centroid assignment by rounded cosine
+    (ties: clabel asc). ``cents`` is a (clabel, cv) frame, broadcast by
+    the caller; one O(n * n_centroids) scan + a per-vector window — no
+    global window, no shuffle wider than the vec_id hash."""
+    scored = e.crossJoin(cents).select(
+        "vec_id", "v", "clabel", _cos(F.col("v"), F.col("cv")).alias("ccos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("clabel"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "clabel")
+    )
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    n_iters: int = 5,
+    init: DataFrame | None = None,
+) -> DataFrame:
+    """(clabel, cv array<double>): Lloyd-iterated coarse quantizer for
+    ``ivf_topk``, as a Spark dataflow.
+
+    Each iteration: assign = the same broadcast-centroid scan + per-vector
+    window ``ivf_topk`` uses for cell assignment (O(n * k), distributed);
+    update = groupBy(cell, pos) DECIMAL-exact mean, rounded to 6 dp (the
+    label_centroids determinism device). Between iterations the centroid
+    table — O(k * dim), driver-sized BY DEFINITION, exactly what Spark
+    MLlib's KMeans collects per step — round-trips through the driver,
+    which both seeds the next broadcast and keeps the loop free of plan
+    growth. Cells that lose every vector keep their previous centroid.
+
+    ``init`` defaults to the deterministic per-label mean centroids, so
+    with a labeled corpus the whole training run is deterministic; on an
+    unlabeled 100 TB corpus pass any seed frame (e.g. a hashed sample)."""
+    spark = emb.sparkSession
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    seed = (
+        init
+        if init is not None
+        else label_centroids(emb).select(F.col("label").alias("clabel"), "cv")
+    )
+    cent_rows = {
+        int(r["clabel"]): [float(x) for x in r["cv"]] for r in seed.collect()
+    }
+    schema = "clabel bigint, cv array<double>"
+    for _ in range(n_iters):
+        cdf = spark.createDataFrame(
+            sorted(cent_rows.items()), schema
+        )
+        asn = _assign_cells(e, F.broadcast(cdf))
+        per = asn.select(
+            "clabel", F.posexplode("v").alias("pos", "val")
+        ).groupBy("clabel", "pos").agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(18,9)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("c")
+        )
+        new = (
+            per.groupBy("clabel")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("s"))
+            .select("clabel", F.col("s.c").alias("cv"))
+        )
+        for r in new.collect():
+            cent_rows[int(r["clabel"])] = [float(x) for x in r["cv"]]
+    return spark.createDataFrame(sorted(cent_rows.items()), schema)
+
+
 def ivf_topk(
     emb: DataFrame,
     k: int = 5,
     n_probe: int = 2,
     n_queries: int = 10,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, vec_id, cos, rank): IVF-style ANN top-k.
 
@@ -157,32 +242,19 @@ def ivf_topk(
     Scale shape: the centroid table is broadcast (tiny); assignment is
     one O(n * n_centroids) scan with a per-vector window (partitioned by
     vec_id — no global window); the candidate join is an equi-join on the
-    cell label. The 100 TB growth path swaps the quantizer for trained
-    k-means centroids without touching the dataflow."""
+    cell label. ``centroids`` swaps in a trained quantizer — e.g.
+    ``kmeans_centroids(emb)`` — without touching the dataflow (the (clabel,
+    cv) contract is all that is shared)."""
     cents = F.broadcast(
-        label_centroids(emb).select(
-            F.col("label").alias("clabel"), "cv"
-        )
+        centroids
+        if centroids is not None
+        else label_centroids(emb).select(F.col("label").alias("clabel"), "cv")
     )
     e = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-
-    def _cos(a, b):
-        return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6)
-
-    scored_cells = e.crossJoin(cents).select(
-        "vec_id", "v", "clabel", _cos(F.col("v"), F.col("cv")).alias("ccos")
-    )
-    w_asn = Window.partitionBy("vec_id").orderBy(
-        F.desc("ccos"), F.asc("clabel")
-    )
-    asn = (
-        scored_cells.withColumn("rn", F.row_number().over(w_asn))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "clabel")
-    )
+    asn = _assign_cells(e, cents)
     q = e.orderBy("vec_id").limit(n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -221,9 +293,18 @@ def lsh_topk(
     Approximate: recall depends on n_planes (fewer planes => bigger
     buckets => higher recall, more compute). The bucket equi-join replaces
     the brute-force cross join — this is the 100 TB path.
+
+    Pass ``dim`` when the caller knows it (the driver queries do) — the
+    dimension probe is otherwise one extra ``first()`` job, cached per
+    DataFrame so repeated calls on the same frame pay it once.
     """
     if dim is None:
-        dim = len(emb.select("embedding").first()[0])
+        dim = _DIM_CACHE.get(id(emb))
+        if dim is None:
+            dim = len(emb.select("embedding").first()[0])
+            if len(_DIM_CACHE) > 256:
+                _DIM_CACHE.clear()
+            _DIM_CACHE[id(emb)] = dim
     sig = hyperplane_signatures(emb, dim, n_planes=n_planes)
     e = emb.join(sig, "vec_id").select(
         "vec_id",

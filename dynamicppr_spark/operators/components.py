@@ -87,7 +87,16 @@ def connected_components(
         meta={"name": "connected_components", "partition_key": "vid",
               "num_partitions": p},
     )
-    return result.state.select("vid", "component")
+    # the final state is an eager checkpoint leaf — the edge cache has no
+    # reader left; freeing it here keeps maintained streams (one CC run
+    # per batch) from accumulating a MEMORY_AND_DISK block per call
+    edges.unpersist()
+    out = result.state.select("vid", "component")
+    # ownership handle: the ids of the loop-final checkpoint blocks this
+    # frame reads. A caller that copies the labels out (maintained stream)
+    # frees them; one-shot callers just let GC take them as before.
+    out._dynppr_ckpt_ids = set(result.ckpt_ids)
+    return out
 
 
 def _induced_subgraph_edges(
@@ -218,5 +227,14 @@ def connected_components_incremental(
     seeds = kept.unionByName(recomputed)
     out = connected_components(g2, max_iter=max_iter, init_labels=seeds)
     sub_graph.release()
+    # the warm pass consumed ``seeds`` eagerly (its loop checkpoints the
+    # initial state) — the subgraph run's final checkpoint has no reader
+    # left, so free it instead of leaking one block per delete batch
+    from dynamicppr_spark.rddtrack import unpersist_rdd_ids
+
+    unpersist_rdd_ids(
+        out.sparkSession.sparkContext,
+        getattr(recomputed, "_dynppr_ckpt_ids", set()),
+    )
     info.update(mode="decremental_subgraph", subgraph_vertices=n_aff)
     return out, g2

@@ -85,7 +85,13 @@ def label_propagation(
         ckpt_dir=ckpt_dir,
         meta={"name": "lpa", "partition_key": "vid", "num_partitions": p},
     )
-    return result.state.select("vid", "label")
+    # final state is an eager checkpoint leaf — free the per-call edge
+    # cache now (maintained streams run one LPA per batch; see components)
+    edges.unpersist()
+    out = result.state.select("vid", "label")
+    # ownership handle for maintained-stream callers (see components.py)
+    out._dynppr_ckpt_ids = set(result.ckpt_ids)
+    return out
 
 
 def label_propagation_incremental(

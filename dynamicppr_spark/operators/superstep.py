@@ -33,6 +33,11 @@ class SuperstepResult:
     history: list[dict] = field(default_factory=list)
     wall_seconds: float = 0.0
     resumed_from: int = 0
+    # RDD block ids backing ``state`` (the loop's FINAL eager checkpoint).
+    # ``state`` reads these; a caller that copies the state out (e.g. a
+    # maintained stream re-checkpointing it) should free them via
+    # rddtrack.unpersist_rdd_ids — otherwise they wait for JVM GC.
+    ckpt_ids: set = field(default_factory=set)
 
 
 class CheckpointRotator:
@@ -287,5 +292,6 @@ def run_superstep_loop(
             state = _write_checkpoint(state, ckpt_dir, it, metrics, meta)
             last_durable = it
     return SuperstepResult(
-        state, it, converged, metrics, history, time.time() - t0, resumed_from
+        state, it, converged, metrics, history, time.time() - t0, resumed_from,
+        ckpt_ids=set(rotator._prev_ids),
     )

@@ -60,6 +60,9 @@ def triangle_count(
     O(sqrt(m)), which is what keeps hub join fan-out bounded at scale
     (node-iterator++). The count is identical either way."""
     e = _oriented(graph, orient_by_degree).persist(StorageLevel.MEMORY_AND_DISK)
+    # the result is lazy, so the cache must outlive this call — register
+    # it with the graph (graph.release() frees it) instead of leaking
+    graph._owned_caches.append(e)
     e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
     e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
@@ -115,7 +118,9 @@ def _triangles_touching(
     beyond: same O(E) probe without shipping an unbounded table to every
     executor — the guard discipline of components.py round-4). The
     persisted wedge is appended to ``keep`` for the caller to unpersist
-    after materializing the result."""
+    after materializing the result; with ``keep=None`` the result is
+    eagerly checkpointed here and the wedge freed before returning, so
+    every persisted wedge always has exactly one owner."""
     adj = edges.select(F.col("a").alias("v"), F.col("b").alias("w")).unionByName(
         edges.select(F.col("b").alias("v"), F.col("a").alias("w"))
     )
@@ -146,7 +151,17 @@ def _triangles_touching(
     ).select(
         F.col("t")[0].alias("x"), F.col("t")[1].alias("y"), F.col("t")[2].alias("z")
     )
-    return tri.distinct()
+    out = tri.distinct()
+    if keep is None:
+        # no owner volunteered for the wedge cache: materialize the
+        # (batch-sized) result eagerly and free the wedge now, instead of
+        # leaking a MEMORY_AND_DISK block until session end
+        out = out.localCheckpoint(eager=True)
+        try:
+            wedge.unpersist()
+        except Exception:  # noqa: BLE001
+            pass
+    return out
 
 
 def triangle_delta(
@@ -272,11 +287,21 @@ def per_vertex_triangles_incremental(
     return out, g2
 
 
-def per_vertex_triangles(graph: LinkGraph) -> DataFrame:
-    """(vid, triangles) — number of triangles incident to each vertex."""
-    e = _oriented(graph, orient_by_degree=False).persist(
+def per_vertex_triangles(
+    graph: LinkGraph, orient_by_degree: bool = True
+) -> DataFrame:
+    """(vid, triangles) — number of triangles incident to each vertex.
+
+    Per-vertex counts are orientation-invariant (any acyclic orientation
+    enumerates each triangle exactly once, and every enumeration
+    contributes the same three corners), so ``orient_by_degree`` defaults
+    ON like ``triangle_count``: id order would let a low-id hub keep its
+    full oriented out-degree and make the wedge join O(deg^2) at that hub,
+    where degree order caps it at O(sqrt(m))."""
+    e = _oriented(graph, orient_by_degree=orient_by_degree).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    graph._owned_caches.append(e)
     e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
     e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))

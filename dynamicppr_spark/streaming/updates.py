@@ -55,6 +55,42 @@ def run_update_stream(
     return q
 
 
+def run_state_stream(
+    state,
+    stream_df: DataFrame,
+    watermark: str = "10 minutes",
+    query_name: str = "state_updates",
+):
+    """Attach any maintained-kernel state (an object with
+    ``apply(batch_df)``) to a streaming update feed.
+
+    One shared implementation of the micro-batch == update-batch
+    discipline (split each micro-batch by batch_id, apply in batch_id
+    order) — TriangleStreamState, ComponentsStreamState and LPAStreamState
+    all ride this; two copies of the ordering logic drifted once and never
+    will again. Returns the started StreamingQuery."""
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bids = [
+            r["batch_id"]
+            for r in batch_df.select("batch_id").distinct().orderBy("batch_id").collect()
+        ]
+        for bid in bids:
+            state.apply(
+                batch_df.filter(F.col("batch_id") == bid).select("op", "src", "dst")
+            )
+
+    return (
+        stream_df.withWatermark("ts", watermark)
+        .writeStream.outputMode("append")
+        .queryName(query_name)
+        .foreachBatch(apply_batch)
+        .start()
+    )
+
+
 class TriangleStreamState:
     """Maintained triangle count under a streaming edge-update feed.
 
@@ -95,27 +131,9 @@ def run_triangle_stream(
     watermark: str = "10 minutes",
     query_name: str = "triangle_updates",
 ):
-    """Attach a TriangleStreamState to a streaming update feed (same
-    micro-batch == update-batch discipline as ``run_update_stream``)."""
-
-    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        bids = [
-            r["batch_id"]
-            for r in batch_df.select("batch_id").distinct().orderBy("batch_id").collect()
-        ]
-        for bid in bids:
-            state.apply(
-                batch_df.filter(F.col("batch_id") == bid).select("op", "src", "dst")
-            )
-
-    return (
-        stream_df.withWatermark("ts", watermark)
-        .writeStream.outputMode("append")
-        .queryName(query_name)
-        .foreachBatch(apply_batch)
-        .start()
+    """K6 flavor of ``run_state_stream`` (kept as the public name)."""
+    return run_state_stream(
+        state, stream_df, watermark=watermark, query_name=query_name
     )
 
 
@@ -129,15 +147,36 @@ class _MaintainedLabelState:
     label_col: str = "component"
 
     def __init__(self, graph, labels: DataFrame | None = None):
+        from dynamicppr_spark.operators.superstep import CheckpointRotator
+
         self.graph = graph
-        self.labels = (
+        # rotate the labels checkpoint: each new eager checkpoint frees the
+        # PREDECESSOR's RDD blocks explicitly (and severs the origin-plan
+        # chain) instead of waiting on driver GC — the same long-stream
+        # discipline as every other maintained state here
+        self._rot = CheckpointRotator(graph.spark)
+        self.labels = self._checkpoint_owned(
             self._cold(graph) if labels is None else labels
-        ).localCheckpoint(eager=True)
+        )
         self.batches_applied = 0
+
+    def _checkpoint_owned(self, labels: DataFrame) -> DataFrame:
+        """Rotate ``labels`` into this state's own checkpoint, then free
+        the kernel-internal loop-final blocks the input was reading (the
+        ``_dynppr_ckpt_ids`` ownership handle components/lpa attach) —
+        without this, every batch leaks one superstep-loop block."""
+        from dynamicppr_spark.rddtrack import unpersist_rdd_ids
+
+        loop_ids = getattr(labels, "_dynppr_ckpt_ids", set())
+        out = self._rot.checkpoint(labels)
+        unpersist_rdd_ids(
+            self.graph.spark.sparkContext, set(loop_ids) - self._rot._prev_ids
+        )
+        return out
 
     def apply(self, batch_df: DataFrame) -> DataFrame:
         new_labels, g2 = self._incremental(self.graph, self.labels, batch_df)
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = self._checkpoint_owned(new_labels)
         self.graph.release(keep=g2)
         self.graph = g2
         self.labels = new_labels
@@ -194,27 +233,9 @@ def run_label_stream(
     watermark: str = "10 minutes",
     query_name: str = "label_updates",
 ):
-    """Attach a Components/LPA stream state to a streaming update feed
-    (micro-batch == update-batch, like run_update_stream)."""
-
-    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        bids = [
-            r["batch_id"]
-            for r in batch_df.select("batch_id").distinct().orderBy("batch_id").collect()
-        ]
-        for bid in bids:
-            state.apply(
-                batch_df.filter(F.col("batch_id") == bid).select("op", "src", "dst")
-            )
-
-    return (
-        stream_df.withWatermark("ts", watermark)
-        .writeStream.outputMode("append")
-        .queryName(query_name)
-        .foreachBatch(apply_batch)
-        .start()
+    """K4/K5 flavor of ``run_state_stream`` (kept as the public name)."""
+    return run_state_stream(
+        state, stream_df, watermark=watermark, query_name=query_name
     )
 
 

@@ -270,16 +270,24 @@ def test_triangle_wedge_broadcast_gated(spark):
     )  # K6 clique, canonical pairs
     delta = spark.createDataFrame([(0, 1)], "a bigint, b bigint")
 
-    tri_b = _triangles_touching(delta, edges)
+    # keep= makes this caller the wedge-cache owner AND keeps the result
+    # lazy so the plan-level broadcast assertions below see the join
+    # (keep=None eagerly checkpoints the result — round-5 leak fix)
+    keep: list = []
+    tri_b = _triangles_touching(delta, edges, keep=keep)
     plan_b = tri_b._jdf.queryExecution().optimizedPlan().toString()
     assert plan_b.count("strategy=broadcast") == 1
 
-    tri_s = _triangles_touching(delta, edges, wedge_broadcast_max_rows=0)
+    tri_s = _triangles_touching(
+        delta, edges, keep=keep, wedge_broadcast_max_rows=0
+    )
     plan_s = tri_s._jdf.queryExecution().optimizedPlan().toString()
     assert plan_s.count("strategy=broadcast") == 0
     assert sorted(map(tuple, tri_b.collect())) == sorted(
         map(tuple, tri_s.collect())
     )
+    for df in keep:
+        df.unpersist()
 
 
 # ------------------------------------------------------- md5 LSH planes
