@@ -7,11 +7,13 @@ Headline metrics (BASELINE.md):
   - edge_updates_per_sec   : K2 edge-updates-applied/sec
   - plus wall seconds per query in "queries"
 
-Repeats (round-3): the iterative-kernel queries run BENCH_REPEATS times
+Repeats (round-3, completed round-5): EVERY query runs BENCH_REPEATS times
 (default 3) — "queries" carries the MEDIAN wall seconds and
 "queries_spread" the min/max/n per query, because this box is a noisy
 shared tenant (single-shot deltas under ~2x are not evidence; see
-BENCH/BASELINE.md). Derived throughputs use the median.
+BENCH/BASELINE.md). Derived throughputs use the median run. The output
+shape (every queries key has a spread record) is pinned by
+tests/test_round5_fixes.py::test_bench_output_shape.
 
 Scaling-efficiency protocol (BASELINE.md): run this same script twice,
 SPARK_GRAFT_CPUS=8 and =32, and compare throughput — tools/scaling_bench.py
@@ -69,8 +71,10 @@ def want(name: str) -> bool:
 
 
 def _update_batches(spark, vmax: int, seed: int = 42, n_batches=None):
+    """(batches, total_rows): update-batch DataFrames plus their combined
+    row count (known from generation — no count() jobs needed)."""
     rng = np.random.default_rng(seed)
-    out = []
+    out, total = [], 0
     for b in range(n_batches or N_UPDATE_BATCHES):
         src = rng.integers(0, vmax, UPDATES_PER_BATCH)
         dst = rng.integers(0, vmax, UPDATES_PER_BATCH)
@@ -80,10 +84,11 @@ def _update_batches(spark, vmax: int, seed: int = 42, n_batches=None):
             for o, s, d in zip(ops, src, dst)
             if s != d
         ]
+        total += len(rows)
         out.append(
             spark.createDataFrame(rows, "op string, src bigint, dst bigint")
         )
-    return out
+    return out, total
 
 
 def main() -> None:
@@ -107,17 +112,6 @@ def main() -> None:
     spread: dict[str, dict] = {}
     extras: dict[str, float] = {}
 
-    def timed(name):
-        """Single-shot timer (ETL / one-pass queries)."""
-        class _T:
-            def __enter__(self):
-                self.t = time.time()
-
-            def __exit__(self, *a):
-                timings[name] = round(time.time() - self.t, 3)
-
-        return _T()
-
     def repeated(name, fn, n=REPEATS):
         """Run ``fn`` n times; record median wall (+ spread) and return
         the per-run results list. fn() may return a dict of extra metrics;
@@ -138,8 +132,17 @@ def main() -> None:
         return results[med_i], timings[name]
 
     # -------- graph build (ETL path: extraction + dedup + partitioning)
+    # repeated like everything else (round-5: every query gets a spread
+    # record); each run builds a FRESH LinkGraph and releases the previous
+    # one so the repeats don't stack persisted edge caches
     clones = int(os.environ.get("BENCH_GRAPH_CLONES", "1"))
-    with timed("q_graph_build"):
+    g = None
+    n_edges = 0
+
+    def _run_build():
+        nonlocal g, n_edges
+        if g is not None:
+            g.release()
         edges = part_cooccurrence_edges(spark, SF_DIR, directed_both_ways=True)
         if clones > 1:
             # scaling-protocol knob: k disjoint offset copies of the graph
@@ -160,6 +163,8 @@ def main() -> None:
         g = LinkGraph(edges, num_partitions=parts)
         n_edges = g.edges.count()
         _ = g.scatter_edges.count()  # materialize the hot-loop edge side
+
+    repeated("q_graph_build", _run_build)
     extras["n_edges"] = n_edges
     extras["n_vertices"] = g.num_vertices
     extras["graph_clones"] = clones
@@ -232,7 +237,7 @@ def main() -> None:
         seeds = itertools.count(42)
 
         def _run_updates_auto():
-            batches = _update_batches(
+            batches, _n = _update_batches(
                 spark, extras["n_vertices"], seed=next(seeds)
             )
             before = eng2.metrics.updates_applied
@@ -264,7 +269,7 @@ def main() -> None:
         seeds_df = itertools.count(7)
 
         def _run_updates_df():
-            batches_df = _update_batches(
+            batches_df, _n = _update_batches(
                 spark, extras["n_vertices"], seed=next(seeds_df), n_batches=3
             )
             before = eng3.metrics.updates_applied
@@ -280,51 +285,62 @@ def main() -> None:
 
     # -------- K6 triangles
     if want("q_triangles"):
-        with timed("q_triangles"):
-            triangle_count(g).collect()
+        repeated("q_triangles", lambda: triangle_count(g).collect())
 
     # -------- K6 incremental maintenance under ±edge batches (round-4):
-    # gained/lost touched-triple deltas instead of a full recount
+    # gained/lost touched-triple deltas instead of a full recount. Each
+    # repeat streams fresh batches into the EVOLVING maintained count
+    # (same regime as q_ppr_updates); throughput uses the inner window
+    # (batch generation excluded — row counts are known from generation).
     if want("q_triangles_updates"):
         from dynamicppr_spark.operators.triangles import (
             triangle_count_incremental,
         )
 
-        tri_count = triangle_count(g).collect()[0]["n"]
-        tg = g
         n_tri_batches = int(os.environ.get("BENCH_TRI_BATCHES", "2"))
-        tri_batches = _update_batches(
-            spark, extras["n_vertices"], seed=1042, n_batches=n_tri_batches
-        )
-        n_ups = sum(b.count() for b in tri_batches)  # outside the window
-        with timed("q_triangles_updates"):
-            for b in tri_batches:
-                tri_count, tg2 = triangle_count_incremental(tg, tri_count, b)
-                if tg is not g:
-                    tg.release(keep=tg2)
-                tg = tg2
-        extras["triangle_updates_per_sec"] = round(
-            n_ups / timings["q_triangles_updates"], 4
-        )
-        if tg is not g:
-            tg.release(keep=g)
+        tri_state = {"g": g, "count": triangle_count(g).collect()[0]["n"]}
+        tri_seeds = itertools.count(1042)
+
+        def _run_tri_updates():
+            batches, n_ups = _update_batches(
+                spark, extras["n_vertices"], seed=next(tri_seeds),
+                n_batches=n_tri_batches,
+            )
+            t = time.time()
+            for b in batches:
+                tri_state["count"], tg2 = triangle_count_incremental(
+                    tri_state["g"], tri_state["count"], b
+                )
+                if tri_state["g"] is not g:
+                    tri_state["g"].release(keep=tg2)
+                tri_state["g"] = tg2
+            return {"ups": n_ups / (time.time() - t)}
+
+        res, _med = repeated("q_triangles_updates", _run_tri_updates)
+        extras["triangle_updates_per_sec"] = round(res["ups"], 4)
+        if tri_state["g"] is not g:
+            tri_state["g"].release(keep=g)
 
     # -------- dedup + similarity over documents/embeddings
     from dynamicppr_spark.functions.dedup import minhash_lsh_pairs
     from dynamicppr_spark.functions.similarity import cosine_topk
 
     if want("q_minhash_lsh"):
-        with timed("q_minhash_lsh"):
+        def _run_minhash():
             docs = load_table(spark, SF_DIR, "documents")
             minhash_lsh_pairs(docs, num_hashes=8, bands=4).count()
+
+        repeated("q_minhash_lsh", _run_minhash)
     if want("q_cosine_topk"):
-        with timed("q_cosine_topk"):
+        def _run_cosine():
             emb = load_table(spark, SF_DIR, "embeddings")
             cosine_topk(emb, k=5, n_queries=20).count()
 
+        repeated("q_cosine_topk", _run_cosine)
+
     # -------- relational spine (TPC-H Q1 style)
     if want("q_tpch_q1"):
-        with timed("q_tpch_q1"):
+        def _run_q1():
             li = load_table(spark, SF_DIR, "lineitem")
             li.filter(F.col("l_shipdate") <= "1998-09-02").groupBy(
                 "l_returnflag", "l_linestatus"
@@ -333,6 +349,8 @@ def main() -> None:
                 F.avg("l_extendedprice").alias("avg_price"),
                 F.count("*").alias("n"),
             ).collect()
+
+        repeated("q_tpch_q1", _run_q1)
 
     total = round(sum(timings.values()), 3)
     print(

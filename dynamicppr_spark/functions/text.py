@@ -9,6 +9,7 @@ full predicate/column pushdown to the parquet scan.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 # Marker stopwords per language for the n-gram/stopword language heuristic.
@@ -80,8 +81,25 @@ def with_quality_score(docs: DataFrame, col: str = "text") -> DataFrame:
     return docs.withColumn("quality", F.round(q, 6))
 
 
-def with_lang_id(docs: DataFrame, col: str = "text") -> DataFrame:
-    """+ lang_pred via the deterministic marker-stopword heuristic."""
+def with_lang_id(
+    docs: DataFrame, col: str = "text", model: "NgramNBModel | None" = None
+) -> DataFrame:
+    """+ lang_pred.
+
+    Default: the deterministic marker-stopword heuristic (pure built-ins,
+    exact SQL oracle — the driver's ``doc_lang_pred`` query). ``model=``
+    swaps in a trained classifier (``NgramNBModel``) evaluated in an
+    Arrow-batched pandas UDF — the same plumbing a production fastText/
+    CLD3-style model would ride; the classifier travels in the UDF closure
+    (a few KB of log-probabilities)."""
+    if model is not None:
+        from pyspark.sql.types import StringType
+
+        @F.pandas_udf(StringType())
+        def _predict(s: pd.Series) -> pd.Series:
+            return pd.Series(model.predict(s.fillna("").tolist()))
+
+        return docs.withColumn("lang_pred", _predict(F.col(col)))
     hits = {lang: _stopword_hits(col, ws) for lang, ws in LANG_MARKERS.items()}
     best = F.greatest(*hits.values())
     pred = F.lit("und")
@@ -91,6 +109,129 @@ def with_lang_id(docs: DataFrame, col: str = "text") -> DataFrame:
             (hits[lang] > 0) & (hits[lang] == best), F.lit(lang)
         ).otherwise(pred)
     return docs.withColumn("lang_pred", pred)
+
+
+# --------------------------------------------------------------- langid NB
+# A tiny deterministic character-trigram Naive Bayes: the model-shaped
+# language identifier (the heuristic above is the oracle-checkable
+# fallback). Pure numpy, no RNG anywhere — training on the same corpus
+# always yields bit-identical log-probabilities.
+
+LANG_SENTENCES: dict[str, list[str]] = {
+    "en": [
+        "the quick brown fox jumps over the lazy dog",
+        "we shipped the release notes to every customer yesterday",
+        "reading is one of the best ways to learn a language",
+        "she walked through the park and watched the birds sing",
+        "this document describes how the system handles failures",
+        "they finished the project before the deadline with time to spare",
+    ],
+    "es": [
+        "el rapido zorro marron salta sobre el perro perezoso",
+        "enviamos las notas de la version a todos los clientes ayer",
+        "leer es una de las mejores maneras de aprender un idioma",
+        "ella camino por el parque y miro cantar a los pajaros",
+        "este documento describe como el sistema maneja los fallos",
+        "terminaron el proyecto antes de la fecha limite con tiempo",
+    ],
+    "de": [
+        "der schnelle braune fuchs springt ueber den faulen hund",
+        "wir haben die versionshinweise gestern an alle kunden geschickt",
+        "lesen ist eine der besten arten eine sprache zu lernen",
+        "sie ging durch den park und hoerte die voegel singen",
+        "dieses dokument beschreibt wie das system fehler behandelt",
+        "sie beendeten das projekt vor der frist mit zeitreserve",
+    ],
+    "fr": [
+        "le rapide renard brun saute par dessus le chien paresseux",
+        "nous avons envoye les notes de version a tous les clients hier",
+        "lire est une des meilleures facons d apprendre une langue",
+        "elle a marche dans le parc et regarde les oiseaux chanter",
+        "ce document decrit comment le systeme gere les pannes",
+        "ils ont termine le projet avant la date limite avec de l avance",
+    ],
+}
+
+
+def _char_ngrams(text: str, n: int = 3) -> list[str]:
+    import re
+
+    t = re.sub(r"\s+", " ", text.strip().lower())
+    if len(t) < n:
+        return [t] if t else []
+    return [t[i : i + n] for i in range(len(t) - n + 1)]
+
+
+class NgramNBModel:
+    """Character n-gram multinomial Naive Bayes over languages.
+
+    ``train`` computes add-one-smoothed log P(ngram | lang) and log priors
+    (plain numpy — deterministic, no RNG); ``predict`` scores each text by
+    summing the log-probabilities of its KNOWN ngrams (unknown ngrams are
+    skipped; a text with no known ngram is 'und'), argmax with
+    alphabetical tie-break. Small by construction: langs x vocab doubles."""
+
+    def __init__(self, langs, vocab, log_prior, log_prob, n=3):
+        self.langs = langs          # sorted list[str]
+        self.vocab = vocab          # dict[str, int]
+        self.log_prior = log_prior  # (L,) float64
+        self.log_prob = log_prob    # (L, V) float64
+        self.n = n
+
+    @classmethod
+    def train(
+        cls, texts: list[str], labels: list[str], n: int = 3
+    ) -> "NgramNBModel":
+        import numpy as np
+
+        langs = sorted(set(labels))
+        docs_ngrams = [_char_ngrams(t, n) for t in texts]
+        vocab: dict[str, int] = {}
+        for gs in docs_ngrams:
+            for gkey in gs:
+                vocab.setdefault(gkey, len(vocab))
+        counts = np.zeros((len(langs), len(vocab)))
+        n_docs = np.zeros(len(langs))
+        li = {l: i for i, l in enumerate(langs)}
+        for gs, lab in zip(docs_ngrams, labels):
+            n_docs[li[lab]] += 1
+            for gkey in gs:
+                counts[li[lab], vocab[gkey]] += 1
+        log_prob = np.log(
+            (counts + 1.0) / (counts.sum(axis=1, keepdims=True) + len(vocab))
+        )
+        log_prior = np.log(n_docs / n_docs.sum())
+        return cls(langs, vocab, log_prior, log_prob, n=n)
+
+    def predict(self, texts: list[str]) -> list[str]:
+        import numpy as np
+
+        out = []
+        for t in texts:
+            idx = [
+                self.vocab[gkey]
+                for gkey in _char_ngrams(t, self.n)
+                if gkey in self.vocab
+            ]
+            if not idx:
+                out.append("und")
+                continue
+            scores = self.log_prior + self.log_prob[:, idx].sum(axis=1)
+            best = float(scores.max())
+            # alphabetical tie-break (langs is sorted; argmax takes first)
+            out.append(self.langs[int(np.argmax(scores >= best))])
+        return out
+
+
+def train_langid_model(n: int = 3) -> NgramNBModel:
+    """The fixture-corpus model: trained on LANG_SENTENCES (deterministic;
+    same bits every call). Swap in your own (texts, labels) via
+    ``NgramNBModel.train`` for a real corpus."""
+    texts, labels = [], []
+    for lang, sents in sorted(LANG_SENTENCES.items()):
+        texts.extend(sents)
+        labels.extend([lang] * len(sents))
+    return NgramNBModel.train(texts, labels, n=n)
 
 
 def with_fingerprint(docs: DataFrame, col: str = "text") -> DataFrame:

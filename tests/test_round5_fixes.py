@@ -215,6 +215,88 @@ def test_wedge_keep_none_frees_cache(spark, make_graph):
     g.release()
 
 
+def test_langid_nb_model_beats_heuristic(spark):
+    """The trained char-trigram Naive Bayes langid (model= path of
+    with_lang_id) must match or beat the marker heuristic on held-out
+    sentences, and be deterministic across retrains."""
+    from dynamicppr_spark.functions.text import (
+        NgramNBModel,
+        train_langid_model,
+        with_lang_id,
+    )
+
+    held_out = [
+        ("en", "a small team wrote most of the code over the weekend"),
+        ("en", "please review the changes before merging them tomorrow"),
+        ("es", "un equipo pequeno escribio casi todo el codigo el fin de semana"),
+        ("es", "por favor revisa los cambios antes de fusionarlos manana"),
+        ("de", "ein kleines team schrieb den grossteil des codes am wochenende"),
+        ("de", "bitte pruefe die aenderungen bevor sie morgen zusammengefuehrt werden"),
+        ("fr", "une petite equipe a ecrit la plupart du code pendant le weekend"),
+        ("fr", "veuillez verifier les changements avant de les fusionner demain"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(held_out)],
+        "doc_id bigint, text string",
+    )
+    model = train_langid_model()
+    nb = {r.doc_id: r.lang_pred
+          for r in with_lang_id(docs, model=model).collect()}
+    heur = {r.doc_id: r.lang_pred for r in with_lang_id(docs).collect()}
+    want = {i: lang for i, (lang, _) in enumerate(held_out)}
+    nb_acc = sum(nb[i] == want[i] for i in want) / len(want)
+    heur_acc = sum(heur[i] == want[i] for i in want) / len(want)
+    assert nb_acc >= heur_acc, (nb_acc, heur_acc, nb, heur)
+    assert nb_acc >= 0.9, (nb_acc, nb)
+    # determinism: retraining yields bit-identical parameters
+    m2 = train_langid_model()
+    assert (m2.log_prob == model.log_prob).all()
+    assert m2.vocab == model.vocab and m2.langs == model.langs
+    # no known ngrams -> 'und'
+    assert NgramNBModel.train(["abc def"], ["en"]).predict(["zzzzq"]) == ["und"]
+
+
+@pytest.mark.slow
+def test_bench_output_shape(tmp_path):
+    """bench.py's contract: ONE JSON line where EVERY entry in "queries"
+    has a matching "queries_spread" record with n == repeats and
+    min <= median <= max (round-5: the spread doctrine now covers every
+    query, not just the iterative kernels). Runs a small subset at
+    sf0.001 in a subprocess (bench reads its env at import)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="4",
+        BENCH_REPEATS="3",
+        BENCH_ONLY="q_tpch_q1,q_cosine_topk,q_triangles",
+    )
+    proc = subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd="/root/repo",
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=540,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    d = json.loads(line)
+    assert d["metric"] == "bench_suite_seconds" and d["unit"] == "sec"
+    assert set(d["queries"]) == {
+        "q_graph_build", "q_tpch_q1", "q_cosine_topk", "q_triangles"
+    }
+    assert set(d["queries_spread"]) == set(d["queries"])
+    for name, med in d["queries"].items():
+        s = d["queries_spread"][name]
+        assert s["n"] == 3, (name, s)
+        assert s["min"] <= med <= s["max"], (name, med, s)
+
+
 @pytest.mark.slow
 def test_soak_label_and_triangle_streams_30_batches(spark, make_graph, tmp_path):
     """Round-5 soak for the K4/K5 stream states (the round-3 long-stream
