@@ -468,6 +468,33 @@ def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_range_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join (SURVEY §2d, completed round-5): purchases
+    within the hour AFTER each click, per user — bucketed equi-join on
+    (user_id, time bucket) + exact microsecond range filter
+    (functions/relational.py::range_join; no nested-loop/cartesian).
+    Aggregated per click so the result stays bounded; DECIMAL-exact sum."""
+    from dynamicppr_spark.functions.relational import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    j = range_join(
+        clicks, purch, keys=["user_id"], left_ts="ts", right_ts="ts",
+        lower_s=0, upper_s=3600,
+    )
+    return j.groupBy("event_id", "user_id").agg(
+        F.count("*").cast("bigint").alias("n_purchases"),
+        F.round(
+            F.sum(F.col("_r_value").cast("decimal(18,9)")).cast("double"), 6
+        ).alias("sum_value"),
+    )
+
+
 def _q_events_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDAF surface (grouped-agg pandas UDF): per-type median —
     order-free, so bit-exact vs SQL median."""
@@ -554,6 +581,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_ann": _q_ivf_ann,
         # §2d upgrades (round-4): as-of join, Python UDAF, Python UDTF
         "events_asof_purchase": _q_events_asof,
+        # §2d completed (round-5): bucketed interval join
+        "events_range_purchase": _q_events_range_purchase,
         "events_median_udaf": _q_events_median_udaf,
         "doc_word_positions": _q_word_positions,
         # rows-only (engine-specific sketch internals; pytest gates)
@@ -1122,6 +1151,15 @@ p AS (SELECT user_id, ts, max(value) AS pval
       FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
 SELECT c.event_id, c.user_id, round(p.pval, 6) AS last_purchase
 FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""",
+        "events_range_purchase": """
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id, count(*) AS n_purchases,
+       round(CAST(sum(CAST(p.value AS DECIMAL(18,9))) AS DOUBLE), 6) AS sum_value
+FROM c JOIN p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+GROUP BY c.event_id, c.user_id""",
         "events_median_udaf": """
 SELECT event_type, round(median(value), 6) AS median_value
 FROM events GROUP BY event_type""",

@@ -1,10 +1,14 @@
-"""Relational extensions (SURVEY.md §2d round-4 upgrades): as-of join,
-Python UDAF, Python UDTF — each with an exact DuckDB oracle form.
+"""Relational extensions (SURVEY.md §2d rounds 4-5): as-of join, range
+(interval) join, Python UDAF, Python UDTF — each with an exact DuckDB
+oracle form.
 
 Previously declared n/a; implemented here Spark-first:
-  - as-of join = union + running ``last(ignorenulls)`` window — a single
-    shuffle on the join keys, no nested-loop/range join, scales as any
+  - as-of join = union + running last-struct window — a single
+    shuffle on the join keys, no nested-loop join, scales as any
     co-partitioned window does (DuckDB oracle: native ASOF JOIN).
+  - range join = bucketed equi-join (left intervals explode over their
+    covered time buckets) + exact post-filter — no nested-loop/cartesian
+    (DuckDB oracle: plain inequality-predicate join).
   - UDAF = grouped-agg pandas UDF (Arrow-batched, no per-row Python).
     The demo aggregate is the MEDIAN — order-free, so bit-exact across
     engines (no accumulation-order ulps to paper over).
@@ -90,6 +94,70 @@ def asof_join(
             ],
         )
     )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    lower_s: int,
+    upper_s: int,
+    bucket_s: int | None = None,
+) -> DataFrame:
+    """Interval (range) join: every (left, right) pair sharing ``keys``
+    with ``right.right_ts`` in ``[left.left_ts + lower_s, left.left_ts +
+    upper_s]`` (inclusive, seconds). Completes the §2d theta/range-join
+    category — the one the round-4 verdict left open.
+
+    Plan shape — the classic bucketed range join (what a range-join hint
+    does under the hood): timestamps are bucketed at ``bucket_s`` width
+    (default: the interval width, so each left row covers <= 2 buckets);
+    each left row EXPLODES over the buckets its interval overlaps (a
+    bounded constant ~2-3), the join is a plain EQUI-join on
+    (keys..., bucket), and the exact range predicate filters after. One
+    keyed shuffle, no nested-loop/cartesian — it scales like any hash
+    join, where a naive theta join is O(n_l * n_r) per key. Pick
+    ``bucket_s`` ~ the interval width: wider buckets cut the explode
+    factor but grow the post-filter candidate set.
+
+    All arithmetic is in MICROSECONDS (``unix_micros``; NTZ inputs
+    are cast — a constant offset cancels in the range predicate): the range
+    predicate is exact at full timestamp precision, so SQL ``BETWEEN`` on
+    timestamps reproduces it bit-for-bit (the oracle device)."""
+    if upper_s < lower_s:
+        raise ValueError("range_join: upper_s < lower_s (empty interval)")
+    lo_us, up_us = lower_s * 1_000_000, upper_s * 1_000_000
+    b = (int(bucket_s) if bucket_s else max(1, upper_s - lower_s)) * 1_000_000
+    def _bucket_of(x):
+        # exact integer division for non-negative longs: (x - x % b) is an
+        # exact multiple, and a double quotient that IS an integer < 2^53
+        # rounds to itself — no float boundary flips at exact multiples
+        return ((x - x % F.lit(b)) / F.lit(b)).cast("long")
+
+    lo = F.unix_micros(F.col(left_ts).cast("timestamp")) + F.lit(lo_us)
+    hi = F.unix_micros(F.col(left_ts).cast("timestamp")) + F.lit(up_us)
+    l = left.withColumn(
+        "_bucket", F.explode(F.sequence(_bucket_of(lo), _bucket_of(hi)))
+    )
+    r = right.withColumn(
+        "_bucket", _bucket_of(F.unix_micros(F.col(right_ts).cast("timestamp")))
+    ).select(
+        *keys,
+        "_bucket",
+        *[
+            F.col(c).alias(f"_r_{c}")
+            for c in right.columns
+            if c not in keys
+        ],
+    )
+    rts = F.unix_micros(F.col(f"_r_{right_ts}").cast("timestamp"))
+    joined = l.join(r, [*keys, "_bucket"]).filter(
+        (rts >= F.unix_micros(F.col(left_ts).cast("timestamp")) + F.lit(lo_us))
+        & (rts <= F.unix_micros(F.col(left_ts).cast("timestamp")) + F.lit(up_us))
+    )
+    return joined.drop("_bucket")
 
 
 @pandas_udf("double")

@@ -152,6 +152,54 @@ def test_asof_check_unique_right(spark):
     assert out.count() == 1
 
 
+def test_range_join_semantics_and_plan(spark):
+    """Bucketed range join: inclusive bounds at both ends, key isolation,
+    bucket-boundary crossings, bucket_s override — and the physical plan
+    is a HASH equi-join (no nested-loop/cartesian), which is the whole
+    point vs a naive theta join."""
+    from dynamicppr_spark.functions.relational import range_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "2026-01-01 00:00:00"),
+         (2, 10, "2026-01-01 02:00:00"),
+         (3, 20, "2026-01-01 00:00:00")],
+        "event_id bigint, user_id bigint, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(10, "2026-01-01 00:00:00", 1.0),   # == lower bound of e1
+         (10, "2026-01-01 00:59:59.999999", 2.0),  # just inside e1
+         (10, "2026-01-01 01:00:00", 3.0),   # == upper bound of e1
+         (10, "2026-01-01 01:00:00.000001", 4.0),  # just outside e1
+         (10, "2026-01-01 02:30:00", 5.0),   # inside e2
+         (20, "2026-01-01 00:30:00", 6.0)],  # other key: only e3
+        "user_id bigint, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    def got(bucket_s=None):
+        j = range_join(left, right, keys=["user_id"], left_ts="ts",
+                       right_ts="ts", lower_s=0, upper_s=3600,
+                       bucket_s=bucket_s)
+        return sorted((r.event_id, r._r_value) for r in j.collect())
+
+    # e1 [00:00, 01:00] takes 1.0/2.0/3.0 (inclusive ends) but NOT 4.0
+    # (1 us past the bound); e2 [02:00, 03:00] takes only 5.0; e3 is the
+    # other key
+    want = [(1, 1.0), (1, 2.0), (1, 3.0), (2, 5.0), (3, 6.0)]
+    assert got() == want
+    # bucket width is a performance knob, never a semantics knob
+    assert got(bucket_s=600) == want
+    assert got(bucket_s=7200) == want
+
+    j = range_join(left, right, keys=["user_id"], left_ts="ts",
+                   right_ts="ts", lower_s=0, upper_s=3600)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan[:800]
+
+    with pytest.raises(ValueError, match="empty interval"):
+        range_join(left, right, keys=["user_id"], left_ts="ts",
+                   right_ts="ts", lower_s=10, upper_s=0)
+
+
 def test_lsh_topk_no_probe_job_when_dim_supplied(spark):
     """Plan construction with dim= schedules zero Spark jobs (the probe
     first() was one extra driver job per call)."""
