@@ -433,6 +433,20 @@ def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over TRAINED k-means centroids (round-5): 2 Lloyd
+    iterations seeded from the label centroids (functions/similarity.py::
+    kmeans_centroids), then the same cell-probed top-k dataflow as
+    embedding_ivf_ann. Fully deterministic (DECIMAL means, rounded
+    cosines, alphabetical tie-breaks), so even the TRAINING loop has an
+    exact DuckDB oracle (unrolled in _kmeans_ivf_sql)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.kmeans_centroids(emb, n_iters=2)
+    return S.ivf_topk(
+        emb, k=5, n_probe=2, n_queries=10, centroids=cents
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
 def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # embedding dim is a property of the INPUT table — cache per sf_dir
@@ -579,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_ann": _q_lsh_ann,
         # IVF ANN over deterministic label-centroid cells (round-4)
         "embedding_ivf_ann": _q_ivf_ann,
+        "embedding_ivf_kmeans": _q_ivf_kmeans_ann,
         # §2d upgrades (round-4): as-of join, Python UDAF, Python UDTF
         "events_asof_purchase": _q_events_asof,
         # §2d completed (round-5): bucketed interval join
@@ -622,6 +637,101 @@ deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
 verts AS (SELECT DISTINCT src AS vid FROM e),
 nv AS (SELECT count(*) AS n FROM verts)"""
 )
+
+
+def _kmeans_ivf_sql(
+    n_iters: int = 2, k: int = 5, n_probe: int = 2, n_queries: int = 10
+) -> str:
+    """Unrolled-Lloyd oracle for embedding_ivf_kmeans: c0 = label means,
+    then per iteration (assign by rounded cosine, tie clabel asc; DECIMAL
+    mean per surviving cell; emptied cells carry the previous centroid),
+    then the standard IVF probe/rank. Mirrors kmeans_centroids + ivf_topk
+    float-op for float-op (list_dot_product == the Spark fold at the
+    shared 6-dp rounding — proven by the embedding_ivf_ann oracle).
+    Chained CTEs are MATERIALIZED: each references its predecessor more
+    than once and DuckDB inlining would blow up exponentially."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"round(list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * "
+            f"sqrt(list_dot_product({b}, {b}))), 6)"
+        )
+
+    parts = [
+        "e AS MATERIALIZED (SELECT vec_id, label, "
+        "CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        """m0 AS (
+  SELECT CAST(label AS BIGINT) AS clabel, CAST(u.i - 1 AS INTEGER) AS pos,
+         round(CAST(sum(CAST(CAST(embedding[u.i] AS DOUBLE) AS DECIMAL(18,9)))
+                    AS DOUBLE) / count(*), 6) AS c
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+  GROUP BY clabel, pos
+),
+c0 AS MATERIALIZED (SELECT clabel, list(c ORDER BY pos) AS cv
+                    FROM m0 GROUP BY clabel)""",
+    ]
+    for i in range(1, n_iters + 1):
+        p = i - 1
+        parts.append(f"""a{i} AS MATERIALIZED (
+  SELECT vec_id, clabel FROM (
+    SELECT e.vec_id, c.clabel,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos("e.v", "c.cv")} DESC, c.clabel) AS rn
+    FROM e, c{p} c
+  ) WHERE rn = 1
+),
+m{i} AS MATERIALIZED (
+  SELECT a.clabel, CAST(u.i - 1 AS INTEGER) AS pos,
+         round(CAST(sum(CAST(e.v[u.i] AS DECIMAL(18,9))) AS DOUBLE)
+               / count(*), 6) AS c
+  FROM a{i} a JOIN e USING (vec_id),
+       UNNEST(generate_series(1, len(e.v))) AS u(i)
+  GROUP BY a.clabel, pos
+),
+c{i} AS MATERIALIZED (
+  SELECT clabel, list(c ORDER BY pos) AS cv FROM m{i} GROUP BY clabel
+  UNION ALL
+  SELECT clabel, cv FROM c{p}
+  WHERE clabel NOT IN (SELECT DISTINCT clabel FROM m{i})
+)""")
+    n = n_iters
+    parts.append(f"""asn AS MATERIALIZED (
+  SELECT vec_id, clabel FROM (
+    SELECT e.vec_id, c.clabel,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos("e.v", "c.cv")} DESC, c.clabel) AS rn
+    FROM e, c{n} c
+  ) WHERE rn = 1
+),
+q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM e
+                   ORDER BY vec_id LIMIT {n_queries}),
+probe AS (
+  SELECT query_id, clabel FROM (
+    SELECT q.query_id, c.clabel,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {cos("q.qv", "c.cv")} DESC, c.clabel) AS rn
+    FROM q, c{n} c
+  ) WHERE rn <= {n_probe}
+),
+sc AS (
+  SELECT p.query_id, a.vec_id, {cos("q.qv", "e.v")} AS cos
+  FROM probe p
+  JOIN asn a USING (clabel)
+  JOIN q ON p.query_id = q.query_id
+  JOIN e ON a.vec_id = e.vec_id
+  WHERE a.vec_id <> p.query_id
+)""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, vec_id) AS rank
+      FROM sc)
+WHERE rank <= {k}"""
+    )
 
 
 def _pagerank_sql(iters: int, alpha: float = 0.15) -> str:
@@ -1145,6 +1255,9 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cos DESC, vec_id) AS rank
       FROM sc)
 WHERE rank <= 5""",
+        "embedding_ivf_kmeans": _kmeans_ivf_sql(
+            n_iters=2, k=5, n_probe=2, n_queries=10
+        ),
         "events_asof_purchase": """
 WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
 p AS (SELECT user_id, ts, max(value) AS pval
