@@ -16,10 +16,13 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import LongType
 
 
-# embedding dimension per DataFrame id — a probe (`first()`) is one driver
+# embedding dimension per DataFrame — a probe (`first()`) is one driver
 # job; the dimension is a property of the input, so cache like the driver's
-# _MIN_VID_CACHE. Bounded; cleared wholesale on overflow (ids recycle).
-_DIM_CACHE: dict[int, int] = {}
+# _MIN_VID_CACHE. Weak keys: an entry dies with its DataFrame, so a
+# recycled object identity can never serve a stale dimension.
+import weakref
+
+_DIM_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _dot(a, b):
@@ -299,12 +302,10 @@ def lsh_topk(
     DataFrame so repeated calls on the same frame pay it once.
     """
     if dim is None:
-        dim = _DIM_CACHE.get(id(emb))
+        dim = _DIM_CACHE.get(emb)
         if dim is None:
             dim = len(emb.select("embedding").first()[0])
-            if len(_DIM_CACHE) > 256:
-                _DIM_CACHE.clear()
-            _DIM_CACHE[id(emb)] = dim
+            _DIM_CACHE[emb] = dim
     sig = hyperplane_signatures(emb, dim, n_planes=n_planes)
     e = emb.join(sig, "vec_id").select(
         "vec_id",
