@@ -433,6 +433,19 @@ def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (round-5): LSH-bucketed candidate
+    pairs filtered at rounded cosine >= 0.35 (fixture-calibrated demo
+    threshold; a production near-dup run uses ~0.95) — the embedding
+    analogue of ngram_jaccard_pairs, md5-plane oracle-checkable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = _EMB_DIM_CACHE.get(sf_dir)
+    if dim is None:
+        dim = len(emb.select("embedding").first()[0])
+        _EMB_DIM_CACHE[sf_dir] = dim
+    return S.neardup_pairs(emb, threshold=0.35, n_planes=8, dim=dim)
+
+
 def _q_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over TRAINED k-means centroids (round-5): 2 Lloyd
     iterations seeded from the label centroids (functions/similarity.py::
@@ -594,6 +607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # IVF ANN over deterministic label-centroid cells (round-4)
         "embedding_ivf_ann": _q_ivf_ann,
         "embedding_ivf_kmeans": _q_ivf_kmeans_ann,
+        "embedding_neardup_pairs": _q_embedding_neardup,
         # §2d upgrades (round-4): as-of join, Python UDAF, Python UDTF
         "events_asof_purchase": _q_events_asof,
         # §2d completed (round-5): bucketed interval join
@@ -1258,6 +1272,36 @@ WHERE rank <= 5""",
         "embedding_ivf_kmeans": _kmeans_ivf_sql(
             n_iters=2, k=5, n_probe=2, n_queries=10
         ),
+        "embedding_neardup_pairs": """
+WITH dims AS (SELECT max(len(embedding)) AS dim FROM embeddings),
+ds AS (SELECT unnest(generate_series(1, dim)) AS d FROM dims),
+planes AS (
+  SELECT j.j AS j, ds.d AS d,
+         ('0x' || substr(md5(j.j || ':' || ds.d), 1, 8))::BIGINT
+           / 2147483648.0 - 1 AS p
+  FROM range(0, 8) j(j), ds
+),
+sig AS (
+  SELECT vec_id,
+         sum(CASE WHEN dot > 0 THEN (1::BIGINT << j) ELSE 0 END) AS bucket
+  FROM (
+    SELECT e.vec_id, pl.j,
+           sum(CAST(e.embedding[pl.d] AS DOUBLE) * pl.p) AS dot
+    FROM embeddings e, planes pl
+    GROUP BY e.vec_id, pl.j
+  ) GROUP BY vec_id
+),
+ok AS (SELECT bucket FROM sig GROUP BY bucket HAVING count(*) <= 10000),
+e AS (SELECT s.vec_id, CAST(embedding AS DOUBLE[]) AS v, s.bucket
+      FROM embeddings JOIN sig s USING (vec_id)
+      WHERE s.bucket IN (SELECT bucket FROM ok))
+SELECT a, b, cos FROM (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         round(list_dot_product(x.v, y.v)
+               / (sqrt(list_dot_product(x.v, x.v))
+                  * sqrt(list_dot_product(y.v, y.v))), 6) AS cos
+  FROM e x JOIN e y USING (bucket) WHERE x.vec_id < y.vec_id
+) WHERE cos >= 0.35""",
         "events_asof_purchase": """
 WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
 p AS (SELECT user_id, ts, max(value) AS pval

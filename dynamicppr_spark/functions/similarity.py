@@ -284,6 +284,67 @@ def ivf_topk(
     )
 
 
+def neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    n_planes: int = 8,
+    dim: int | None = None,
+    max_bucket: int = 10_000,
+    info: dict | None = None,
+) -> DataFrame:
+    """(a, b, cos): unordered near-duplicate vector pairs — rounded cosine
+    >= ``threshold`` among vectors sharing an LSH bucket. The
+    embedding-modality near-dup detector (the brief's 'embedding-cosine
+    near-dup'): its pairs feed the same CC-based cluster consolidation as
+    the text LSH path (functions/dedup.py::dup_clusters).
+
+    Scale shape: ONE signature per vector (md5-plane family — exactly
+    SQL-reproducible, so the query is DuckDB-oracle-checkable), pair
+    candidates via a bucket self-equi-join — near-linear, never all-pairs.
+    Each vector lives in exactly one bucket, so no pair is emitted twice
+    (no distinct needed). Approximate by design: a true near-dup pair
+    hashed into different buckets is missed; more planes => smaller
+    buckets => cheaper but lower recall (band the signature for higher
+    recall, as the MinHash path does).
+
+    Skew guard: a degenerate bucket is O(|bucket|^2) pairs, so buckets
+    larger than ``max_bucket`` are DROPPED — deterministic, mirrored in
+    the SQL oracle, and observable: pass ``info`` to receive
+    ``hot_buckets``/``dropped_vectors`` counts (one extra job, gated like
+    the components diagnostics — silent truncation is the failure mode)."""
+    if dim is None:
+        dim = _DIM_CACHE.get(emb)
+        if dim is None:
+            dim = len(emb.select("embedding").first()[0])
+            _DIM_CACHE[emb] = dim
+    sig = hyperplane_signatures(emb, dim, n_planes=n_planes)
+    e = emb.join(sig, "vec_id").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        "bucket",
+    )
+    sizes = e.groupBy("bucket").agg(F.count("*").alias("n"))
+    ok = sizes.filter(F.col("n") <= max_bucket).select("bucket")
+    if info is not None:
+        hot = sizes.filter(F.col("n") > max_bucket).agg(
+            F.count("*").alias("hb"), F.coalesce(F.sum("n"), F.lit(0)).alias("dv")
+        ).collect()[0]
+        info.update(hot_buckets=int(hot["hb"]), dropped_vectors=int(hot["dv"]))
+    kept = e.join(ok, "bucket", "left_semi")
+    x = kept.select(
+        F.col("vec_id").alias("a"), F.col("v").alias("va"), "bucket"
+    )
+    y = kept.select(
+        F.col("vec_id").alias("b"), F.col("v").alias("vb"), "bucket"
+    )
+    return (
+        x.join(y, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", _cos(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     k: int = 5,

@@ -152,6 +152,35 @@ def test_asof_check_unique_right(spark):
     assert out.count() == 1
 
 
+def test_embedding_neardup_pairs(spark):
+    """Embedding near-dup pairs: twin vectors land in the same bucket and
+    surface above threshold; unrelated vectors don't; the hot-bucket cap
+    drops oversized buckets with observable counts."""
+    from dynamicppr_spark.functions import similarity as S
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((10, 16))
+    rows = []
+    for i in range(10):
+        rows.append((i, [float(x) for x in base[i]]))
+        rows.append((100 + i, [float(x) for x in base[i] * 1.001]))  # twins
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = {
+        (r.a, r.b)
+        for r in S.neardup_pairs(emb, threshold=0.99, dim=16).collect()
+    }
+    # every twin pair shares all hyperplane signs (same direction) and has
+    # cosine ~1 — all 10 must surface; no cross pair reaches 0.99
+    assert got == {(i, 100 + i) for i in range(10)}, got
+    # cap: max_bucket=1 drops every bucket that holds a twin pair
+    info: dict = {}
+    capped = S.neardup_pairs(
+        emb, threshold=0.99, dim=16, max_bucket=1, info=info
+    )
+    assert capped.count() == 0
+    assert info["hot_buckets"] >= 1 and info["dropped_vectors"] >= 2, info
+
+
 def test_range_join_semantics_and_plan(spark):
     """Bucketed range join: inclusive bounds at both ends, key isolation,
     bucket-boundary crossings, bucket_s override — and the physical plan
