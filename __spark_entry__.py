@@ -424,6 +424,17 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash64(docs)
 
 
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (round-5): banded Hamming-distance pair
+    extraction (functions/dedup.py::simhash_neardup_pairs). Recall is
+    exact by pigeonhole at max_hamming=3 < 4 bands, so the DuckDB
+    brute/banded oracle matches bit for bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_neardup_pairs(docs).withColumn(
+        "hamming", F.col("hamming").cast("int")
+    )
+
+
 def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over label-mean centroids (functions/similarity.py::
     ivf_topk) — deterministic quantizer, so exactly oracle-checkable."""
@@ -598,6 +609,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "component_sizes": _q_component_sizes,
         "lpa_label_sizes": _q_lpa_sizes,
         "doc_simhash": _q_simhash,
+        # banded SimHash Hamming pairs (round-5): completes the dedup
+        # modality set with pair extraction for every signature family
+        "simhash_neardup_pairs": _q_simhash_pairs,
         "lsh_dup_clusters": _q_lsh_dup_clusters,
         "media_features": _q_media_features,
         "events_percentiles": _q_events_percentiles,
@@ -934,6 +948,32 @@ votes AS (
   FROM th GROUP BY doc_id
 )
 SELECT doc_id, CAST({' + '.join(terms)} AS BIGINT) AS simhash FROM votes"""
+
+
+def _simhash_pairs_sql(
+    max_hamming: int = 3, bands: int = 4, max_bucket: int = 200
+) -> str:
+    """Banded SimHash Hamming pairs — mirrors
+    functions/dedup.py::simhash_neardup_pairs (same bands, same
+    hot-bucket drop; DuckDB's >> on BIGINT is arithmetic like Spark's
+    shiftright, and the band mask discards the sign extension)."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    return f"""
+WITH sim AS ({_simhash_sql()}),
+banded AS (
+  SELECT doc_id, simhash, b.band AS band,
+         (simhash >> (b.band * {width})) & {mask} AS val
+  FROM sim, (SELECT unnest(range({bands})) AS band) b
+),
+hot AS (SELECT band, val FROM banded GROUP BY band, val
+        HAVING count(*) > {max_bucket}),
+cold AS (SELECT banded.* FROM banded ANTI JOIN hot USING (band, val))
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM cold a JOIN cold b ON a.band = b.band AND a.val = b.val
+                       AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
 
 
 def _lsh_clusters_sql(
@@ -1355,6 +1395,7 @@ GROUP BY label, pos""",
         "lpa_label_sizes": _lpa_sql(LPA_FIXED_ITERS),
         "component_sizes": _cc_sql(),
         "doc_simhash": _simhash_sql(),
+        "simhash_neardup_pairs": _simhash_pairs_sql(),
         "lsh_dup_clusters": _lsh_clusters_sql(),
         "media_features": """
 SELECT doc_id AS media_id,

@@ -279,6 +279,72 @@ def simhash64(docs: DataFrame, col: str = "text") -> DataFrame:
     return sim
 
 
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): near-dup pairs by SimHash Hamming distance.
+
+    The 64-bit simhash64 signature is split into ``bands`` contiguous
+    bit-bands (4 x 16 by default); candidate pairs are docs sharing at
+    least one full band (bucket equi-join, never all-pairs), then exact
+    Hamming via bit_count(xor) filters to ``max_hamming``. Pigeonhole: a
+    pair within Hamming distance d < bands differs in at most d bands, so
+    at least one band matches exactly — recall is 100% for
+    ``max_hamming <= bands - 1`` (the default 3 < 4), with no tuning.
+
+    Band buckets whose population exceeds ``max_bucket`` are dropped
+    BEFORE the self-join (same discipline as ngram_jaccard_pairs's
+    max_df: a degenerate band shared by 10^6 docs would emit ~10^12
+    candidates into one reducer). The drop is deterministic and mirrored
+    by the DuckDB oracle; truly near-identical docs land in hot buckets
+    on ALL bands only when the corpus has a massive exact-dup class,
+    which exact_dup_groups removes first in the canonical pipeline.
+    """
+    width = 64 // bands
+    mask = (1 << width) - 1
+    sim = simhash64(docs, col=col)
+    # arithmetic shiftright sign-extends the high bits, but the band mask
+    # keeps only the low `width` bits — identical to DuckDB's (>> k) & mask
+    banded = sim.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), i * width)
+                    .bitwiseAND(F.lit(mask))
+                    .alias(f"v{i}")
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "val"),
+    )
+    hot = (
+        banded.groupBy("band", "val")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > max_bucket)
+        .select("band", "val")
+    )
+    cold = banded.join(F.broadcast(hot), ["band", "val"], "left_anti")
+    a = cold.select("band", "val", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
+    b = cold.select("band", "val", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def lsh_dup_clusters(
     docs: DataFrame,
     col: str = "text",

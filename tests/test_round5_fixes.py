@@ -181,6 +181,42 @@ def test_embedding_neardup_pairs(spark):
     assert info["hot_buckets"] >= 1 and info["dropped_vectors"] >= 2, info
 
 
+def test_simhash_neardup_pairs_matches_brute_force(spark):
+    """Banded SimHash pairs == brute-force all-pairs Hamming at
+    max_hamming=3 (pigeonhole: <4 differing bits over 4 bands leaves at
+    least one band intact), and the hot-bucket cap drops degenerate
+    buckets deterministically."""
+    from dynamicppr_spark.functions import dedup as D
+
+    rng = np.random.default_rng(23)
+    vocab = [f"tok{i}" for i in range(200)]
+    rows = []
+    for i in range(30):
+        toks = list(rng.choice(vocab, size=40))
+        rows.append((2 * i, " ".join(toks)))
+        # twin: one token swapped — a handful of sign flips at most
+        toks[rng.integers(0, 40)] = str(rng.choice(vocab))
+        rows.append((2 * i + 1, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    sigs = {r.doc_id: r.simhash for r in D.simhash64(docs).collect()}
+    brute = set()
+    for a, b in combinations(sorted(sigs), 2):
+        h = bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1")
+        if h <= 3:
+            brute.add((a, b, h))
+    assert brute, "fixture must contain close twins"
+
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in D.simhash_neardup_pairs(docs).collect()
+    }
+    assert got == brute
+
+    # max_bucket=0 drops every bucket => no pairs survive, deterministically
+    assert D.simhash_neardup_pairs(docs, max_bucket=0).count() == 0
+
+
 def test_range_join_semantics_and_plan(spark):
     """Bucketed range join: inclusive bounds at both ends, key isolation,
     bucket-boundary crossings, bucket_s override — and the physical plan
