@@ -435,6 +435,15 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduplicated corpus (round-5): the canonical two-stage pipeline —
+    exact md5 dedup then MinHash-LSH near-dup removal, keeping each
+    class's minimum doc_id (functions/dedup.py::dedup_corpus). Exactly
+    oracle-checkable end to end (md5 family + min-label components)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dedup_corpus(docs)
+
+
 def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over label-mean centroids (functions/similarity.py::
     ivf_topk) — deterministic quantizer, so exactly oracle-checkable."""
@@ -613,6 +622,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # modality set with pair extraction for every signature family
         "simhash_neardup_pairs": _q_simhash_pairs,
         "lsh_dup_clusters": _q_lsh_dup_clusters,
+        # terminal dedup step (round-5): the surviving corpus itself
+        "dedup_corpus": _q_dedup_corpus,
         "media_features": _q_media_features,
         "events_percentiles": _q_events_percentiles,
         # md5-plane LSH ANN (round-4: planes derived from md5 like the
@@ -976,13 +987,13 @@ FROM cold a JOIN cold b ON a.band = b.band AND a.val = b.val
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
 
 
-def _lsh_clusters_sql(
-    num_hashes: int = 8, bands: int = 4, max_bucket: int = 50
+def _lsh_cluster_ctes(
+    base: str, num_hashes: int, bands: int, max_bucket: int
 ) -> str:
-    """MinHash-LSH candidate pairs consolidated into clusters via a
-    recursive reachability closure — mirrors dedup.py::lsh_dup_clusters
-    (md5 minhash family, banded signatures, per-bucket cap, connected
-    components = min reachable doc_id)."""
+    """The shared CTE chain `toks → … → comp` computing MinHash-LSH dup
+    clusters over ``base`` (a table or preceding CTE with doc_id + text) —
+    mirrors dedup.py::lsh_dup_clusters; reused by _lsh_clusters_sql and
+    _dedup_corpus_sql so the two oracles cannot drift."""
     rows = num_hashes // bands
     mh_cols = ", ".join(
         f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(num_hashes)
@@ -993,8 +1004,10 @@ def _lsh_clusters_sql(
         band_selects.append(
             f"SELECT doc_id, {b} AS band, md5({sig}) AS bsig FROM mh"
         )
-    return f"""
-WITH RECURSIVE {_TOKS},
+    return f"""toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM {base}
+),
 sh AS (
   SELECT DISTINCT doc_id,
          md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS shingle
@@ -1022,11 +1035,41 @@ reach(vid, lab) AS (
   UNION
   SELECT pe.d, reach.lab FROM reach JOIN pe ON reach.vid = pe.s
 ),
-comp AS (SELECT vid AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY vid),
+comp AS (SELECT vid AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY vid)"""
+
+
+def _lsh_clusters_sql(
+    num_hashes: int = 8, bands: int = 4, max_bucket: int = 50
+) -> str:
+    """MinHash-LSH candidate pairs consolidated into clusters via a
+    recursive reachability closure — mirrors dedup.py::lsh_dup_clusters
+    (md5 minhash family, banded signatures, per-bucket cap, connected
+    components = min reachable doc_id)."""
+    ctes = _lsh_cluster_ctes("documents", num_hashes, bands, max_bucket)
+    return f"""
+WITH RECURSIVE {ctes},
 sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
           FROM comp GROUP BY cluster_id)
 SELECT c.doc_id, c.cluster_id, s.cluster_size
 FROM comp c JOIN sizes s USING (cluster_id)"""
+
+
+def _dedup_corpus_sql(
+    num_hashes: int = 8, bands: int = 4, max_bucket: int = 50
+) -> str:
+    """Two-stage corpus dedup — mirrors dedup.py::dedup_corpus: exact
+    md5(trim(lower(text))) keep-min-doc_id, then MinHash-LSH near-dup
+    clusters over the exact survivors with non-canonical members removed."""
+    ctes = _lsh_cluster_ctes("sdocs", num_hashes, bands, max_bucket)
+    return f"""
+WITH RECURSIVE
+ex AS (SELECT doc_id, md5(trim(lower(text))) AS fp FROM documents),
+keep AS (SELECT min(doc_id) AS doc_id FROM ex GROUP BY fp),
+sdocs AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+{ctes},
+losers AS (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+SELECT s.doc_id, s.text, s.lang, s.source, s.n_chars
+FROM sdocs s ANTI JOIN losers USING (doc_id)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1397,6 +1440,7 @@ GROUP BY label, pos""",
         "doc_simhash": _simhash_sql(),
         "simhash_neardup_pairs": _simhash_pairs_sql(),
         "lsh_dup_clusters": _lsh_clusters_sql(),
+        "dedup_corpus": _dedup_corpus_sql(),
         "media_features": """
 SELECT doc_id AS media_id,
        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

@@ -386,3 +386,47 @@ def lsh_dup_clusters(
     )
     g.release()
     return out
+
+
+def dedup_corpus(
+    docs: DataFrame,
+    col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Surviving rows of ``docs`` after the canonical two-stage dedup.
+
+    Stage 1 (exact): rows whose md5(trim(lower(col))) collides keep only
+    the smallest doc_id — one hash aggregation (map-side combined) plus a
+    semi-join back on doc_id; no windows, no skew (a 10^6-copy boilerplate
+    class is one agg row).
+
+    Stage 2 (near): MinHash-LSH clusters over the exact survivors
+    (lsh_dup_clusters — banded candidates, salted bucket cap, transitive
+    closure via the engine's CC kernel); every cluster member except the
+    canonical minimum doc_id is removed with an anti-join.
+
+    Output = the deduplicated corpus, original columns intact — the table
+    every downstream training-data stage consumes. Deterministic end to
+    end (md5 family + min-label components), so the whole pipeline has an
+    exact DuckDB oracle. Anti-join side is |near-dup members| << |docs|;
+    AQE broadcasts it when small, shuffles otherwise — no forced hint.
+    """
+    norm = F.md5(F.trim(F.lower(F.col(col))))
+    keepers = (
+        docs.select(F.col("doc_id"), norm.alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    survivors = docs.join(keepers, "doc_id", "left_semi")
+    clusters = lsh_dup_clusters(
+        survivors, col=col, num_hashes=num_hashes, bands=bands, k=k,
+        max_bucket=max_bucket,
+    )
+    losers = clusters.filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select("doc_id")
+    return survivors.join(losers, "doc_id", "left_anti")

@@ -505,3 +505,43 @@ def test_soak_label_and_triangle_streams_30_batches(spark, make_graph, tmp_path)
         )
     for st in (cc, lpa, tri):
         st.inner.graph.release()
+
+
+def test_dedup_corpus_two_stage(spark):
+    """dedup_corpus removes exact dups (keep min doc_id per normalized
+    text) and LSH near-dups (keep the cluster's canonical min doc_id),
+    keeps uniques, and preserves the original columns of survivors."""
+    from dynamicppr_spark.functions import dedup as D
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(500)]
+    base = " ".join(rng.choice(vocab, size=60))
+    near = base.split()
+    near[5] = "CHANGED"
+    near = " ".join(near)
+    uniq1 = " ".join(rng.choice(vocab, size=60))
+    uniq2 = " ".join(rng.choice(vocab, size=60))
+    rows = [
+        (10, base, "en"),
+        (11, "  " + base.upper() + "  ", "en"),  # exact dup after norm
+        (12, near, "en"),                        # near dup of 10
+        (13, uniq1, "en"),
+        (14, uniq2, "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+
+    # sanity: the near pair really is an LSH candidate on this fixture
+    prs = {
+        (r.doc_a, r.doc_b)
+        for r in D.minhash_lsh_pairs(docs, num_hashes=8, bands=4).collect()
+    }
+    assert (10, 12) in prs
+
+    out = D.dedup_corpus(docs).collect()
+    assert {r.doc_id for r in out} == {10, 13, 14}
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[10].text == base and by_id[10].lang == "en"
+
+    # idempotent: a second pass removes nothing
+    again = D.dedup_corpus(spark.createDataFrame(out))
+    assert {r.doc_id for r in again.collect()} == {10, 13, 14}
