@@ -154,6 +154,68 @@ def minhash_signatures(
     )
 
 
+def banded_signatures(
+    docs: DataFrame,
+    col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """(doc_id, band, bsig): per-band LSH bucket signatures — the MinHash
+    signature split into ``bands`` bands of num_hashes/bands rows, each
+    band md5-folded into one bucket key. The uncapped banding stage of
+    ``minhash_lsh_pairs``; the streaming dedup state maintains this table
+    incrementally (new docs' rows are computed per batch, O(|batch|))."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, col=col, num_hashes=num_hashes, k=k)
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col("sig")[b * rows + r]
+                                    for r in range(rows)
+                                ],
+                            )
+                        ).alias("bsig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("x"),
+    ).select("doc_id", F.col("x.band").alias("band"), F.col("x.bsig").alias("bsig"))
+
+
+def capped_band_buckets(banded: DataFrame, max_bucket: int = 50) -> DataFrame:
+    """Keep each (band, bsig) bucket's ``max_bucket`` smallest doc_ids via
+    the salted two-level aggregation (see minhash_lsh_pairs docstring for
+    why this beats a window on hot buckets)."""
+    lvl1 = (
+        banded.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(_CAP_SALTS)))
+        .groupBy("band", "bsig", "salt")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list("doc_id")), 1, max_bucket
+            ).alias("ids")
+        )
+    )
+    return (
+        lvl1.groupBy("band", "bsig")
+        .agg(
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("ids"))), 1, max_bucket
+            ).alias("ids")
+        )
+        .select("band", "bsig", F.explode("ids").alias("doc_id"))
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     col: str = "text",
@@ -178,48 +240,10 @@ def minhash_lsh_pairs(
     how hot the bucket is. Identical output to the window formulation
     (the DuckDB oracle keeps its row_number form).
     """
-    rows = num_hashes // bands
-    sig = minhash_signatures(docs, col=col, num_hashes=num_hashes, k=k)
-    banded = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.col("sig")[b * rows + r]
-                                    for r in range(rows)
-                                ],
-                            )
-                        ).alias("bsig"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("x"),
-    ).select("doc_id", F.col("x.band").alias("band"), F.col("x.bsig").alias("bsig"))
-    lvl1 = (
-        banded.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(_CAP_SALTS)))
-        .groupBy("band", "bsig", "salt")
-        .agg(
-            F.slice(
-                F.array_sort(F.collect_list("doc_id")), 1, max_bucket
-            ).alias("ids")
-        )
+    banded = banded_signatures(
+        docs, col=col, num_hashes=num_hashes, bands=bands, k=k
     )
-    capped = (
-        lvl1.groupBy("band", "bsig")
-        .agg(
-            F.slice(
-                F.array_sort(F.flatten(F.collect_list("ids"))), 1, max_bucket
-            ).alias("ids")
-        )
-        .select("band", "bsig", F.explode("ids").alias("doc_id"))
-    )
+    capped = capped_band_buckets(banded, max_bucket=max_bucket)
     a = capped.select("band", "bsig", F.col("doc_id").alias("doc_a"))
     b = capped.select("band", "bsig", F.col("doc_id").alias("doc_b"))
     return (

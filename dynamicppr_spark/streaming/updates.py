@@ -66,9 +66,12 @@ def run_state_stream(
 
     One shared implementation of the micro-batch == update-batch
     discipline (split each micro-batch by batch_id, apply in batch_id
-    order) — TriangleStreamState, ComponentsStreamState and LPAStreamState
-    all ride this; two copies of the ordering logic drifted once and never
-    will again. Returns the started StreamingQuery."""
+    order) — TriangleStreamState, ComponentsStreamState, LPAStreamState
+    and DedupStreamState all ride this; two copies of the ordering logic
+    drifted once and never will again. A state declares the columns its
+    ``apply`` expects via ``batch_cols`` (default: edge-update ops).
+    Returns the started StreamingQuery."""
+    cols = list(getattr(state, "batch_cols", ("op", "src", "dst")))
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -79,7 +82,7 @@ def run_state_stream(
         ]
         for bid in bids:
             state.apply(
-                batch_df.filter(F.col("batch_id") == bid).select("op", "src", "dst")
+                batch_df.filter(F.col("batch_id") == bid).select(*cols)
             )
 
     return (
@@ -234,6 +237,195 @@ def run_label_stream(
     query_name: str = "label_updates",
 ):
     """K4/K5 flavor of ``run_state_stream`` (kept as the public name)."""
+    return run_state_stream(
+        state, stream_df, watermark=watermark, query_name=query_name
+    )
+
+
+DOC_STREAM_SCHEMA = "batch_id bigint, doc_id bigint, text string, ts timestamp"
+
+
+class DedupStreamState:
+    """Maintained MinHash-LSH dup clusters under a streaming DOCUMENT feed
+    (crawl/ingest dedup: every arriving batch is clustered against the
+    whole corpus seen so far).
+
+    State per batch:
+      - ``sigs``: the capped banded-signature index (band, bsig, doc_id) —
+        each bucket holds its ``max_bucket`` smallest doc_ids. Only the
+        buckets the batch TOUCHES are re-capped (bounded by
+        |batch| x bands x max_bucket rows); the rest of the index moves
+        through a broadcast anti-join — a map-side scan, never a wide
+        shuffle. The new index is checkpoint-rotated (the write is
+        O(index), the same cost class as the O(V) label checkpoints of
+        the CC/LPA stream states; the SHUFFLED work is O(|batch|)).
+      - the candidate-pair GRAPH + its component labels, maintained by an
+        inner ComponentsStreamState: new pairs are '+' edge inserts, so
+        cluster merges ride the warm insert-merge CC kernel — no
+        recompute of old clusters.
+
+    Per batch work: O(|batch| x bands) new signature rows, one map-side
+    pass over the index, bounded-size pair extraction inside the touched
+    buckets only, and insert-merge CC over the new pairs. No all-pairs,
+    no O(corpus) shuffle.
+
+    Parity: when doc_ids arrive in increasing order (ingest order), the
+    final state equals the cold ``lsh_dup_clusters`` of the full corpus
+    EXACTLY — caps keep smallest ids, so nothing is ever evicted and the
+    streamed pair set telescopes to the batch one (gated in tests). Out
+    of order, streamed clusters are a superset (pairs recorded before a
+    later-evicted member keep their merge).
+    """
+
+    batch_cols = ("doc_id", "text")
+
+    def __init__(
+        self,
+        spark,
+        num_hashes: int = 8,
+        bands: int = 4,
+        k: int = 3,
+        max_bucket: int = 50,
+    ):
+        from dynamicppr_spark.operators.superstep import CheckpointRotator
+
+        self.spark = spark
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.k = k
+        self.max_bucket = max_bucket
+        self._rot_sigs = CheckpointRotator(spark)
+        self._rot_edges = CheckpointRotator(spark)
+        # checkpoint blocks the inner CC graph's BASE edges read for its
+        # whole lifetime (transferred out of _rot_edges at cc creation so
+        # rotation can never free the base's lineage leaf)
+        self._base_ids: set[int] = set()
+        self.sigs = spark.createDataFrame(
+            [], "band int, bsig string, doc_id bigint"
+        )
+        self.cc = None  # inner ComponentsStreamState over the pair graph
+        self.batches_applied = 0
+        self.docs_seen = 0
+
+    def apply(self, batch_df: DataFrame) -> None:
+        from dynamicppr_spark.functions.dedup import (
+            banded_signatures,
+            capped_band_buckets,
+        )
+        from dynamicppr_spark.graph import LinkGraph
+
+        new_sigs = banded_signatures(
+            batch_df,
+            num_hashes=self.num_hashes,
+            bands=self.bands,
+            k=self.k,
+        ).select("band", "bsig", "doc_id")
+        # only the buckets this batch touches change; everything else is a
+        # broadcast anti-join = map-side scan of the index, no shuffle.
+        # touched is a-priori bounded by |batch| x bands rows.
+        touched = new_sigs.select("band", "bsig").distinct()
+        untouched = self.sigs.join(
+            F.broadcast(touched), ["band", "bsig"], "left_anti"
+        )
+        recapped = capped_band_buckets(
+            self.sigs.join(F.broadcast(touched), ["band", "bsig"], "left_semi")
+            .unionByName(new_sigs),
+            max_bucket=self.max_bucket,
+        )
+        # ONE index checkpoint job per batch; the rotator frees the OLD
+        # index's blocks only after the new leaf materializes. Everything
+        # derived below reads the NEW checkpoint — deriving pairs from
+        # ``recapped`` here would re-evaluate a plan over the just-freed
+        # old index (read-after-free).
+        capped = self._rot_sigs.checkpoint(untouched.unionByName(recapped))
+        self.sigs = capped
+        # the new index's rows in touched buckets ARE the recapped rows
+        # (untouched buckets were anti-joined away), bounded in size
+        touched_capped = capped.join(
+            F.broadcast(touched), ["band", "bsig"], "left_semi"
+        )
+        new_ids = batch_df.select("doc_id").distinct()
+        # pairs touching at least one NEW doc live entirely inside the
+        # re-capped buckets (bounded size) — join there, not over the index
+        newside = touched_capped.join(F.broadcast(new_ids), "doc_id", "left_semi")
+        pairs = (
+            F.broadcast(
+                newside.select("band", "bsig", F.col("doc_id").alias("a"))
+            )
+            .join(
+                touched_capped.select(
+                    "band", "bsig", F.col("doc_id").alias("b")
+                ),
+                ["band", "bsig"],
+            )
+            .filter(F.col("a") != F.col("b"))
+            .select(
+                F.least("a", "b").alias("src"),
+                F.greatest("a", "b").alias("dst"),
+            )
+            .distinct()
+        )
+        # small (O(|batch| x max_bucket) worst case): checkpoint once,
+        # count from the leaf, feed to CC; rotation frees last batch's copy
+        pairs = self._rot_edges.checkpoint(pairs)
+        self.batches_applied += 1
+        self.docs_seen += new_ids.count()
+        if pairs.isEmpty():
+            return
+        if self.cc is None:
+            # the new graph's persisted base keeps lineage to THIS pairs
+            # checkpoint for its lifetime — transfer the blocks out of the
+            # rotator so the next batch's rotation cannot free them
+            self._base_ids = set(self._rot_edges._prev_ids)
+            self._rot_edges._prev_ids = set()
+            self.cc = ComponentsStreamState(LinkGraph(pairs))
+        else:
+            self.cc.apply(pairs.select(F.lit("+").alias("op"), "src", "dst"))
+
+    def clusters(self) -> DataFrame:
+        """(doc_id, cluster_id, cluster_size) — same shape/semantics as the
+        batch ``lsh_dup_clusters`` (every vertex of the pair graph belongs
+        to a >= 2-member cluster by construction)."""
+        if self.cc is None:
+            return self.spark.createDataFrame(
+                [], "doc_id bigint, cluster_id bigint, cluster_size bigint"
+            )
+        comp = self.cc.labels.select(
+            F.col("vid").alias("doc_id"), F.col("component").alias("cluster_id")
+        )
+        sizes = comp.groupBy("cluster_id").agg(
+            F.count("*").cast("bigint").alias("cluster_size")
+        )
+        return comp.join(sizes, "cluster_id").select(
+            "doc_id", "cluster_id", "cluster_size"
+        )
+
+    def release(self) -> None:
+        """Free every block this state owns: the sigs/pairs checkpoints,
+        the inner pair graph's base checkpoint, and the inner CC state."""
+        from dynamicppr_spark.rddtrack import unpersist_rdd_ids
+
+        sc = self.spark.sparkContext
+        unpersist_rdd_ids(sc, self._rot_sigs._prev_ids)
+        unpersist_rdd_ids(sc, self._rot_edges._prev_ids)
+        self._rot_sigs._prev_ids = set()
+        self._rot_edges._prev_ids = set()
+        if self.cc is not None:
+            self.cc.graph.release()
+            unpersist_rdd_ids(sc, self.cc._rot._prev_ids)
+            self.cc._rot._prev_ids = set()
+            self.cc = None
+        unpersist_rdd_ids(sc, self._base_ids)
+        self._base_ids = set()
+
+
+def run_dedup_stream(
+    state: DedupStreamState,
+    stream_df: DataFrame,
+    watermark: str = "10 minutes",
+    query_name: str = "doc_dedup",
+):
+    """Streaming-corpus flavor of ``run_state_stream`` (document feed)."""
     return run_state_stream(
         state, stream_df, watermark=watermark, query_name=query_name
     )

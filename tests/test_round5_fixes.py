@@ -545,3 +545,83 @@ def test_dedup_corpus_two_stage(spark):
     # idempotent: a second pass removes nothing
     again = D.dedup_corpus(spark.createDataFrame(out))
     assert {r.doc_id for r in again.collect()} == {10, 13, 14}
+
+
+def test_stream_dedup_matches_cold_lsh_clusters(spark, tmp_path):
+    """DedupStreamState under an in-order document feed: the maintained
+    clusters equal the cold ``lsh_dup_clusters`` of the full corpus
+    EXACTLY (caps keep smallest doc_ids, so in-order arrival never
+    evicts and the per-batch pair extraction telescopes to the batch
+    pair set), and ``release`` frees the state's blocks."""
+    from dynamicppr_spark.functions.dedup import lsh_dup_clusters
+    from dynamicppr_spark.streaming.updates import (
+        DOC_STREAM_SCHEMA,
+        DedupStreamState,
+        run_dedup_stream,
+    )
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(300)]
+
+    texts: dict[int, str] = {}
+    rows = []
+    base_ts = 1_700_000_000
+    did = 0
+    for b in range(6):
+        for j in range(4):
+            if did >= 5 and j == 1:  # exact dup of an earlier doc
+                t = texts[int(rng.integers(0, did - 1))]
+            elif did >= 5 and j == 2:  # near dup of an earlier doc
+                w = texts[int(rng.integers(0, did - 1))].split()
+                w[3] = f"x{did}"
+                t = " ".join(w)
+            else:
+                t = " ".join(rng.choice(vocab, size=30))
+            texts[did] = t
+            rows.append((b, did, t))
+            did += 1
+
+    feed = tmp_path / "docs"
+    feed.mkdir()
+    for b in range(6):
+        spark.createDataFrame(
+            [r for r in rows if r[0] == b],
+            "batch_id bigint, doc_id bigint, text string",
+        ).withColumn(
+            "ts", F.timestamp_seconds(F.lit(base_ts + b))
+        ).coalesce(1).write.mode("append").parquet(str(feed))
+
+    docs_all = spark.createDataFrame(
+        list(texts.items()), "doc_id bigint, text string"
+    )
+    want = {
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in lsh_dup_clusters(docs_all).collect()
+    }
+    assert want, "fixture must produce at least one dup cluster"
+
+    state = DedupStreamState(spark)
+    stream = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    q = run_dedup_stream(state, stream)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert state.batches_applied == 6
+    assert state.docs_seen == len(texts)
+    got = {
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in state.clusters().collect()
+    }
+    assert got == want
+
+    before = persistent_rdd_ids(spark.sparkContext)
+    state.release()
+    after = persistent_rdd_ids(spark.sparkContext)
+    if before is not None and after is not None:
+        # the sigs/pairs/base checkpoints and the inner CC blocks are gone
+        assert len(after) < len(before)
