@@ -93,6 +93,53 @@ def test_stream_drives_incremental_triangles(spark, make_graph, update_dir):
     state.graph.release()
 
 
+def test_stream_drives_warm_pagerank(spark, make_graph, update_dir):
+    """K3 under the stream: maintained warm-started ranks match a cold
+    recompute on the final graph (power iteration's fixed point is
+    unique), and no warm re-run needs more iterations than the cold run."""
+    from dynamicppr_spark.operators.pagerank import pagerank
+    from dynamicppr_spark.streaming.updates import (
+        PageRankStreamState,
+        run_state_stream,
+    )
+
+    path, edges, n, script = update_dir
+    state = PageRankStreamState(make_graph(edges, n), tol=1e-8)
+    stream = spark.readStream.schema(UPDATE_SCHEMA).parquet(path)
+    q = run_state_stream(state, stream, query_name="pr_updates")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert state.batches_applied == 2
+    final_edges = fixtures.apply_script_numpy(edges, script)
+    gf = make_graph(final_edges, n)
+    cold = {r.vid: r.score for r in pagerank(gf, tol=1e-8).collect()}
+    warm = {r.vid: r.score for r in state.ranks.collect()}
+    assert max(abs(cold[v] - warm.get(v, 0.0)) for v in cold) < 1e-6
+    assert len(state.iterations) == 3  # cold run + one warm run per batch
+    state.graph.release()
+    gf.release()
+
+
+def test_pagerank_stream_state_warm_iteration_win(spark, make_graph):
+    """The maintained-K3 point: after a small batch, the warm re-run
+    needs far fewer iterations than the cold run (a 2-edge perturbation
+    of a 900-edge graph leaves most scores near-converged). The cycle
+    fixture can't show this — uniform init IS a cycle's fixed point."""
+    from dynamicppr_spark.streaming.updates import PageRankStreamState
+
+    edges, n = fixtures.rmat_graph(n=150, m=900)
+    state = PageRankStreamState(make_graph(edges, n), tol=1e-8)
+    cold_iters = state.iterations[0]
+    batch = spark.createDataFrame(
+        [("+", 0, 149), ("+", 149, 0)], "op string, src bigint, dst bigint"
+    )
+    state.apply(batch)
+    assert state.iterations[1] < cold_iters, state.iterations
+    state.graph.release()
+
+
 def test_stream_drives_incremental_cc(spark, make_graph, update_dir):
     """K4 under the stream: final maintained labels == cold recompute on
     the final graph (CC has a unique fixed point, so this is exact)."""
