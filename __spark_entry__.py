@@ -419,6 +419,50 @@ def _q_events_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-user sketch (functions/sketch.py): the exactly-
+    checkable member of the sketch family — md5-hash order statistics,
+    so DuckDB computes the identical estimate (unlike HLL/GK internals,
+    which stay rows-only in events_sketch)."""
+    from dynamicppr_spark.functions.sketch import kmv_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_distinct(ev, "user_id", k=256)
+
+
+def _q_events_kmv_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped KMV: distinct-user sketch per event_type — the mergeable
+    per-shard rollup form (functions/sketch.py::kmv_distinct_by)."""
+    from dynamicppr_spark.functions.sketch import kmv_distinct_by
+
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_distinct_by(ev, ["event_type"], "user_id", k=64)
+
+
+def _q_events_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli sample (functions/sample.py::hash_sample):
+    engine-reproducible 20% of events by md5 threshold on the row key —
+    a pure narrow filter, pushed to the scan."""
+    from dynamicppr_spark.functions.sample import hash_sample
+
+    ev = load_table(spark, sf_dir, "events")
+    return hash_sample(ev, "event_id", 0.2).select(
+        "event_id", "event_type", "user_id"
+    )
+
+
+def _q_events_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group quota (functions/sample.py::
+    stratified_sample): the 40 hash-smallest events per event_type via the
+    bounded two-level k-min threshold — no window over full groups."""
+    from dynamicppr_spark.functions.sample import stratified_sample
+
+    ev = load_table(spark, sf_dir, "events")
+    return stratified_sample(ev, ["event_type"], "event_id", 40).select(
+        "event_type", "event_id"
+    )
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash64(docs)
@@ -639,7 +683,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_purchase": _q_events_range_purchase,
         "events_median_udaf": _q_events_median_udaf,
         "doc_word_positions": _q_word_positions,
-        # rows-only (engine-specific sketch internals; pytest gates)
+        # sketches: KMV is exactly oracle-checkable (md5 order statistics);
+        # HLL/GK internals are engine-specific, so events_sketch stays
+        # rows-only with pytest accuracy gates
+        "events_kmv_users": _q_events_kmv_users,
+        "events_kmv_by_type": _q_events_kmv_by_type,
+        # deterministic sampling (engine-reproducible md5 membership)
+        "events_hash_sample": _q_events_hash_sample,
+        "events_stratified_sample": _q_events_stratified_sample,
         "events_sketch": _q_events_sketch,
     }
 
@@ -1073,6 +1124,13 @@ FROM sdocs s ANTI JOIN losers USING (doc_id)"""
 
 
 def oracle_sql() -> dict[str, str]:
+    from dynamicppr_spark.functions.sample import (
+        hash_sample_pred_sql as _sample_pred,
+    )
+    from dynamicppr_spark.functions.sketch import (
+        kmv_distinct_by_sql as _kmv_by_sql,
+        kmv_distinct_sql as _kmv_sql,
+    )
     from dynamicppr_spark.functions.text import LANG_MARKERS, STOPWORDS, TOKEN_RE
 
     stop_in = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -1408,6 +1466,19 @@ WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
            FROM documents WHERE doc_id < 20)
 SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS pos, ws[u.i] AS word
 FROM w, UNNEST(generate_series(1, len(ws))) AS u(i)""",
+        "events_kmv_users": _kmv_sql("events", "user_id", 256),
+        "events_kmv_by_type": _kmv_by_sql(
+            "events", ["event_type"], "user_id", 64
+        ),
+        "events_hash_sample": f"""
+SELECT event_id, event_type, user_id FROM events
+WHERE {_sample_pred('event_id', 0.2)}""",
+        "events_stratified_sample": """
+SELECT event_type, event_id FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY event_type
+  ORDER BY ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+) <= 40""",
         "supplier_customer_degrees": """
 WITH e AS (
   SELECT DISTINCT CAST(l.l_suppkey AS BIGINT) AS src,

@@ -625,3 +625,132 @@ def test_stream_dedup_matches_cold_lsh_clusters(spark, tmp_path):
     if before is not None and after is not None:
         # the sigs/pairs/base checkpoints and the inner CC blocks are gone
         assert len(after) < len(before)
+
+
+def test_kmv_distinct_exact_and_estimated(spark):
+    """KMV sketch (functions/sketch.py): exact below k, and above k the
+    Spark estimate equals a pure-Python recomputation of the SAME
+    md5-order-statistic estimator bit-for-bit (strong oracle — the DuckDB
+    side is the driver's events_kmv_users row), with the estimate itself
+    inside the ~4-sigma KMV error band around the true distinct count."""
+    import hashlib
+
+    from dynamicppr_spark.functions.sketch import _HASH_SPAN, kmv_distinct
+
+    def py_kmv(values, k):
+        hs = sorted(
+            {
+                int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+                for v in values
+            }
+        )[:k]
+        n, kth = len(hs), hs[-1]
+        est = float(n) if n < k else round((k - 1) * _HASH_SPAN / kth, 6)
+        return n, kth, est
+
+    # below k: exact
+    small = [f"u{i}" for i in range(40)] * 3  # 40 distinct, repeated
+    row = kmv_distinct(
+        spark.createDataFrame([(v,) for v in small], "user_id string"),
+        "user_id",
+        k=256,
+    ).collect()[0]
+    assert (row.n_hashes, row.est_distinct) == (40, 40.0)
+    assert (row.n_hashes, row.kth_hash, row.est_distinct) == py_kmv(
+        small, 256
+    )
+
+    # above k: estimator parity + accuracy (true=5000, k=256 -> RSE ~6.3%)
+    big = [f"user-{i}" for i in range(5000)] * 2
+    row = kmv_distinct(
+        spark.createDataFrame([(v,) for v in big], "user_id string"),
+        "user_id",
+        k=256,
+    ).collect()[0]
+    n, kth, est = py_kmv(big, 256)
+    assert (row.n_hashes, row.kth_hash, row.est_distinct) == (n, kth, est)
+    assert abs(est - 5000) / 5000 < 0.25
+
+
+def test_hash_and_stratified_sampling(spark):
+    """Deterministic samplers (functions/sample.py): membership parity
+    with a pure-Python md5 recomputation (engine-reproducibility is the
+    point — Spark's df.sample changes under repartition, these cannot),
+    exact per-group quota, small-group keep-all, and a narrow no-shuffle
+    plan for the Bernoulli path."""
+    import hashlib
+
+    from dynamicppr_spark.functions.sample import (
+        hash_sample,
+        stratified_sample,
+    )
+    from dynamicppr_spark.functions.sketch import _HASH_SPAN
+
+    def h(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+    rows = [(i, f"g{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "id bigint, grp string")
+
+    got = sorted(r.id for r in hash_sample(df, "id", 0.25).collect())
+    thr = int(0.25 * _HASH_SPAN)
+    assert got == sorted(i for i, _ in rows if h(i) < thr)
+    # pure filter: no exchange in the plan
+    plan = hash_sample(df, "id", 0.25)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError):
+        hash_sample(df, "id", 1.5)
+
+    got2 = sorted(
+        (r.grp, r.id)
+        for r in stratified_sample(df, ["grp"], "id", 20).collect()
+    )
+    want2 = []
+    for g in ("g0", "g1", "g2"):
+        ids = sorted((h(i), i) for i, gg in rows if gg == g)[:20]
+        want2 += [(g, i) for _, i in ids]
+    assert got2 == sorted(want2)
+    # small group: keep all 5 rows, no over/under-selection
+    small = spark.createDataFrame(
+        [(i, "only") for i in range(5)], "id bigint, grp string"
+    )
+    assert stratified_sample(small, ["grp"], "id", 20).count() == 5
+
+
+def test_kmv_distinct_by_groups(spark):
+    """Grouped KMV parity with pure-Python per-group recomputation, and
+    the mergeability claim: union-sort-slice of two partials' hs arrays
+    equals the sketch of the union (what a 100 TB shard rollup does)."""
+    import hashlib
+
+    from dynamicppr_spark.functions.sketch import _HASH_SPAN, kmv_distinct_by
+
+    def h(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+    k = 16
+    rows = [(f"g{i % 2}", f"u{i % 37}") for i in range(400)]
+    df = spark.createDataFrame(rows, "grp string, uid string")
+    got = {
+        r.grp: (r.n_hashes, r.kth_hash, r.est_distinct)
+        for r in kmv_distinct_by(df, ["grp"], "uid", k=k).collect()
+    }
+
+    def py(vals):
+        hs = sorted({h(v) for v in vals})[:k]
+        n, kth = len(hs), hs[-1]
+        est = float(n) if n < k else round((k - 1) * _HASH_SPAN / kth, 6)
+        return n, kth, est, hs
+
+    for g in ("g0", "g1"):
+        n, kth, est, _ = py([u for gg, u in rows if gg == g])
+        assert got[g] == (n, kth, est)
+
+    # mergeability: sketch(A) U sketch(B) -> sketch(A U B)
+    a = [f"u{i}" for i in range(30)]
+    b = [f"u{i}" for i in range(20, 55)]
+    *_, hs_a = py(a)
+    *_, hs_b = py(b)
+    merged = sorted(set(hs_a) | set(hs_b))[:k]
+    *_, hs_union = py(a + b)
+    assert merged == hs_union
