@@ -463,6 +463,20 @@ def _q_events_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (functions/sample.py::
+    hash_split) rolled up per (split, lang) — the eval-split primitive;
+    membership is a pure function of doc_id, so splits never leak."""
+    from dynamicppr_spark.functions.sample import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash64(docs)
@@ -691,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic sampling (engine-reproducible md5 membership)
         "events_hash_sample": _q_events_hash_sample,
         "events_stratified_sample": _q_events_stratified_sample,
+        "doc_split_counts": _q_doc_split_counts,
         "events_sketch": _q_events_sketch,
     }
 
@@ -1126,6 +1141,7 @@ FROM sdocs s ANTI JOIN losers USING (doc_id)"""
 def oracle_sql() -> dict[str, str]:
     from dynamicppr_spark.functions.sample import (
         hash_sample_pred_sql as _sample_pred,
+        hash_split_case_sql as _split_case,
     )
     from dynamicppr_spark.functions.sketch import (
         kmv_distinct_by_sql as _kmv_by_sql,
@@ -1479,6 +1495,11 @@ QUALIFY row_number() OVER (
   PARTITION BY event_type
   ORDER BY ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
 ) <= 40""",
+        "doc_split_counts": f"""
+SELECT {_split_case('doc_id', {'train': 0.8, 'val': 0.1, 'test': 0.1})}
+         AS split,
+       lang, count(*) AS n_docs
+FROM documents GROUP BY 1, 2""",
         "supplier_customer_degrees": """
 WITH e AS (
   SELECT DISTINCT CAST(l.l_suppkey AS BIGINT) AS src,

@@ -52,6 +52,52 @@ def hash_sample_pred_sql(id_col: str, rate: float) -> str:
     )
 
 
+def hash_split(
+    df: DataFrame, id_col: str, splits: dict[str, float]
+) -> DataFrame:
+    """Deterministic dataset split: adds a ``split`` column assigning each
+    row to one named split with the given probabilities (must sum to 1),
+    by which band of the hash space md5(id) lands in. The eval-split
+    primitive: membership is a pure function of the row key, so train/val
+    /test never leak into each other across engines, re-runs, or
+    repartitions — and adding rows later never reassigns existing ones.
+    Bands are laid out in sorted-name order for determinism."""
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    h = _kmv_hash(id_col)
+    expr = None
+    acc = 0.0
+    names = sorted(splits)
+    for name in names[:-1]:
+        acc += splits[name]
+        cond = h < F.lit(int(acc * _HASH_SPAN))
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def hash_split_case_sql(id_col: str, splits: dict[str, float]) -> str:
+    """The DuckDB CASE expression form of ``hash_split``'s ``split``
+    column (same hash, same band edges, same name order)."""
+    h = (
+        f"('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 15))::BIGINT"
+    )
+    names = sorted(splits)
+    acc = 0.0
+    whens = []
+    for name in names[:-1]:
+        acc += splits[name]
+        whens.append(f"WHEN {h} < {int(acc * _HASH_SPAN)} THEN '{name}'")
+    body = " ".join(whens)
+    return f"CASE {body} ELSE '{names[-1]}' END"
+
+
 def stratified_sample(
     df: DataFrame, group_cols: list[str], id_col: str, m: int
 ) -> DataFrame:
