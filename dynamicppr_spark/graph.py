@@ -145,6 +145,15 @@ class LinkGraph:
     """
 
     compact_threshold_rows: int = 100_000
+    # second compaction trigger: accumulated delta-chain CHECKPOINT BLOCKS.
+    # A stream whose batches keep introducing NEW vertices adds one tiny
+    # nv-slice checkpoint per batch; with small batches the row trigger
+    # above never fires, so the persistent-block count (and the vertex
+    # union's plan depth) would grow without bound over a long stream.
+    # Folding every N chain blocks bounds both at O(N) for an amortized
+    # O(E/N) compaction cost per batch. (Caught by the 30-batch dedup
+    # stream soak: +1 block per batch, round-3 leak class.)
+    compact_max_chain_blocks: int = 32
     # update batches at or below this row count are deduped on the DRIVER
     # (one O(batch) collect replaces 4-5 tiny shuffle stages and their AQE
     # barriers per batch — the round-3 profile showed those stage barriers,
@@ -529,6 +538,7 @@ class LinkGraph:
         child.extra_slices = {}
         child.last_batch_rows = None
         child.compact_threshold_rows = self.compact_threshold_rows
+        child.compact_max_chain_blocks = self.compact_max_chain_blocks
         child._push_ready = (
             getattr(self, "_push_ready", False)
             and self._deg is not None
@@ -882,7 +892,10 @@ class LinkGraph:
                 child._owned_caches.append(patched)
             child._csr = patched
 
-        if child._delta_rows >= child.compact_threshold_rows:
+        if (
+            child._delta_rows >= child.compact_threshold_rows
+            or len(child._chain_rdds) >= child.compact_max_chain_blocks
+        ):
             compacted = child.compact()
             if compacted is not child:
                 # the caller may still need the extra slices / batch count;
@@ -1041,25 +1054,57 @@ class LinkGraph:
 
     def compact(self) -> "LinkGraph":
         """Fold the delta overlay back into a fresh persisted base (one full
-        shuffle). Returns self when there is nothing to fold."""
+        shuffle). Returns self when there is nothing to fold.
+
+        The folded edge/vertex tables are eagerly localCheckpoint'ed
+        SELF-CONTAINED leaves (origin-detached), not just persisted
+        caches. A cache is not enough: the caller frees the old
+        delta-chain blocks right after compaction, and one batch later
+        the successor graph unpersists the compacted caches themselves
+        (release() keeps caches by object identity, and the successor's
+        vertex union is a NEW object) — any recompute would then replay a
+        plan over the freed chain and die with
+        CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (caught by the 30-batch dedup
+        stream soak, where every batch adds vertices). The leaf blocks
+        are tracked as CHAIN blocks so successors inherit and preserve
+        them until a terminal release."""
         if self._minus is None and self._plus is None:
             return self
-        g = LinkGraph(
-            self.edges,
-            vertices=self._vertices,
-            num_partitions=self.num_partitions,
-            persist=self._persist,
-            weighted=self.weighted,
-        )
-        g._num_edges = g._base_edges.count()  # materialize before release
-        # materialize the vertex cache too: its lazy plan still references
-        # the predecessor chain's delta localCheckpoint blocks (nv slices),
-        # which the caller frees via release(keep=g) right after compaction —
-        # an unmaterialized cache would recompute from freed blocks and die
-        # with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on the next vertex scan
+        if not self._persist:
+            # no block tracking in persist=False mode (nothing to free);
+            # plain re-fold, plans stay lazy
+            g = LinkGraph(
+                self.edges,
+                vertices=self._vertices,
+                num_partitions=self.num_partitions,
+                persist=False,
+                weighted=self.weighted,
+            )
+        else:
+            from dynamicppr_spark.rddtrack import detach_plan_origin
+
+            with track_new_rdds(self.spark.sparkContext) as created:
+                edges_ck = detach_plan_origin(
+                    self.edges.repartition(self.num_partitions, "src")
+                    .localCheckpoint(eager=True)
+                )
+                verts_ck = detach_plan_origin(
+                    self._vertices.localCheckpoint(eager=True)
+                )
+            g = LinkGraph(
+                edges_ck,
+                vertices=verts_ck,
+                num_partitions=self.num_partitions,
+                persist=True,
+                weighted=self.weighted,
+                assume_normalized=True,
+            )
+            g._chain_rdds |= created.ids
+        g._num_edges = g._base_edges.count()
         g._num_vertices = g._vertices.count()
         g._dangling_known = self._dangling_known
         g.compact_threshold_rows = self.compact_threshold_rows
+        g.compact_max_chain_blocks = self.compact_max_chain_blocks
         return g
 
     # ------------------------------------------------------------- cleanup

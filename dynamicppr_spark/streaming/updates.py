@@ -437,7 +437,14 @@ class DedupStreamState:
             # rotator so the next batch's rotation cannot free them
             self._base_ids = set(self._rot_edges._prev_ids)
             self._rot_edges._prev_ids = set()
-            self.cc = ComponentsStreamState(LinkGraph(pairs))
+            pair_graph = LinkGraph(pairs)
+            # every dedup batch adds NEW doc_ids (vertices), i.e. one
+            # delta-chain checkpoint block per batch — fold often: the
+            # pair graph holds dup pairs only (<< corpus), so an O(pairs)
+            # compaction every 8 batches is cheap and keeps the
+            # persistent-block count flat over unbounded feeds
+            pair_graph.compact_max_chain_blocks = 8
+            self.cc = ComponentsStreamState(pair_graph)
         else:
             self.cc.apply(pairs.select(F.lit("+").alias("op"), "src", "dst"))
 
@@ -488,6 +495,46 @@ def run_dedup_stream(
     return run_state_stream(
         state, stream_df, watermark=watermark, query_name=query_name
     )
+
+
+class KMVStreamState:
+    """Maintained KMV distinct-count sketch under a streaming feed — the
+    mergeability of the sketch (functions/sketch.py: union-sort-slice of
+    partials = sketch of the union) applied in time instead of space:
+    each batch contributes its k smallest distinct hashes (one bounded
+    Spark job via ``two_level_kmin``), merged into the running k-min set
+    on the driver. The retained state is <= k 64-bit ints — O(k), not
+    O(stream) — and the maintained estimate equals the cold
+    ``kmv_distinct`` of everything seen (exactness gated in tests).
+    The streaming "distinct users so far" monitoring surface."""
+
+    def __init__(self, spark, col: str, k: int = 256):
+        self.spark = spark
+        self.col = col
+        self.k = k
+        self.hs: list[int] = []
+        self.batches_applied = 0
+        # run_state_stream reads batch_cols per-state; an instance attr
+        # because the projected column is chosen at construction
+        self.batch_cols = (col,)
+
+    def apply(self, batch_df: DataFrame) -> float:
+        from dynamicppr_spark.functions.sketch import _kmv_hash, two_level_kmin
+
+        hs = batch_df.select(_kmv_hash(self.col).alias("h")).distinct()
+        rows = two_level_kmin(hs, [], "h", self.k).collect()
+        batch_hs = rows[0]["hs"] if rows else []
+        self.hs = sorted(set(self.hs) | set(batch_hs))[: self.k]
+        self.batches_applied += 1
+        return self.estimate()
+
+    def estimate(self) -> float:
+        from dynamicppr_spark.functions.sketch import _HASH_SPAN
+
+        n = len(self.hs)
+        if n < self.k:
+            return float(n)
+        return round((self.k - 1) * _HASH_SPAN / self.hs[-1], 6)
 
 
 def windowed_update_stats(stream_df: DataFrame, window: str = "1 minute") -> DataFrame:

@@ -754,3 +754,170 @@ def test_kmv_distinct_by_groups(spark):
     merged = sorted(set(hs_a) | set(hs_b))[:k]
     *_, hs_union = py(a + b)
     assert merged == hs_union
+
+
+def test_soak_dedup_stream_30_batches(spark, tmp_path):
+    """Extend the 30-batch soak discipline to the newest stream state:
+    DedupStreamState over a 150-doc in-order feed — bounded persistent
+    blocks, flat per-batch wall, and exact final-cluster parity with the
+    cold lsh_dup_clusters of the full corpus."""
+    from dynamicppr_spark.functions.dedup import lsh_dup_clusters
+    from dynamicppr_spark.streaming.updates import (
+        DOC_STREAM_SCHEMA,
+        DedupStreamState,
+        run_dedup_stream,
+    )
+
+    rng = np.random.default_rng(91)
+    vocab = np.array([f"w{i}" for i in range(60)])
+    texts: dict[int, str] = {}
+    rows = []
+    base_ts = 1_700_000_000
+    did = 0
+    for b in range(30):
+        for j in range(5):
+            if did >= 8 and j == 1:  # exact dup of an earlier doc
+                t = texts[int(rng.integers(0, did - 1))]
+            elif did >= 8 and j == 2:  # near dup of an earlier doc
+                w = texts[int(rng.integers(0, did - 1))].split()
+                w[4] = f"x{did}"
+                t = " ".join(w)
+            else:
+                t = " ".join(rng.choice(vocab, size=25))
+            texts[did] = t
+            rows.append((b, did, t))
+            did += 1
+
+    feed = tmp_path / "docs30"
+    feed.mkdir()
+    for b in range(30):
+        spark.createDataFrame(
+            [r for r in rows if r[0] == b],
+            "batch_id bigint, doc_id bigint, text string",
+        ).withColumn(
+            "ts", F.timestamp_seconds(F.lit(base_ts + b))
+        ).coalesce(1).write.mode("append").parquet(str(feed))
+
+    state = DedupStreamState(spark)
+    lat, blocks = [], []
+    orig_apply = state.apply
+
+    def timed_apply(batch_df):
+        t0 = time.time()
+        orig_apply(batch_df)
+        lat.append(time.time() - t0)
+        ids = persistent_rdd_ids(spark.sparkContext)
+        blocks.append(len(ids) if ids is not None else 0)
+
+    state.apply = timed_apply
+    stream = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    q = run_dedup_stream(state, stream)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert state.batches_applied == 30
+    assert state.docs_seen == 150
+
+    docs_all = spark.createDataFrame(
+        list(texts.items()), "doc_id bigint, text string"
+    )
+    want = {
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in lsh_dup_clusters(docs_all).collect()
+    }
+    assert want, "fixture must produce dup clusters"
+    got = {
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in state.clusters().collect()
+    }
+    assert got == want
+
+    q4 = max(1, len(blocks) // 4)
+    assert max(blocks[-q4:]) <= max(blocks[:q4]) + 10, (blocks[:q4], blocks[-8:])
+    med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+    assert med(lat[-q4:]) <= 3.0 * med(lat[:q4]) + 1.0, (
+        med(lat[:q4]), med(lat[-q4:])
+    )
+    state.release()
+
+
+def test_hash_split_deterministic_bands(spark):
+    """hash_split: every row lands in exactly one split, membership is a
+    pure function of the id (stable under repartition AND under corpus
+    growth — adding rows never reassigns existing ones), proportions
+    concentrate near the weights, weight validation is loud."""
+    from dynamicppr_spark.functions.sample import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(4000)], "id bigint")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = {r.id: r.split for r in hash_split(df, "id", w).collect()}
+    assert set(got.values()) <= set(w)
+    frac = {s: sum(1 for v in got.values() if v == s) / 4000 for s in w}
+    for s, p in w.items():
+        assert abs(frac[s] - p) < 0.03, frac
+    # growth-stability: the first half alone gets identical assignments
+    half = spark.createDataFrame([(i,) for i in range(2000)], "id bigint")
+    got_half = {r.id: r.split for r in hash_split(half, "id", w).collect()}
+    assert got_half == {i: got[i] for i in range(2000)}
+    # repartition-stability
+    got_rep = {
+        r.id: r.split
+        for r in hash_split(df.repartition(13), "id", w).collect()
+    }
+    assert got_rep == got
+    with pytest.raises(ValueError):
+        hash_split(df, "id", {"a": 0.5, "b": 0.4})
+
+
+def test_run_corpus_pipeline_job(spark, tmp_path, monkeypatch, capsys):
+    """jobs/run_corpus_pipeline.py end-to-end in-process (getOrCreate
+    reuses the test session): dedup -> quota -> split -> partitioned
+    parquet + one JSON metrics line, with counts matching the same ops
+    composed inline (the job adds wiring, not semantics)."""
+    import json as _json
+    import sys
+
+    from dynamicppr_spark.functions.dedup import dedup_corpus
+    from dynamicppr_spark.functions.sample import hash_split, stratified_sample
+    from jobs.run_corpus_pipeline import main
+
+    out = tmp_path / "corpus"
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "run_corpus_pipeline.py",
+            "--docs", "/root/testdata/sf0.001/documents.parquet",
+            "--out", str(out),
+            "--quota-col", "lang",
+            "--quota", "60",
+        ],
+    )
+    main()
+    line = [
+        ln for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("{")
+    ][-1]
+    m = _json.loads(line)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    want = hash_split(
+        stratified_sample(dedup_corpus(docs), ["lang"], "doc_id", 60),
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    want_split = {
+        r["split"]: r["n"]
+        for r in want.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert m["docs_in"] == docs.count()
+    assert m["per_split"] == want_split
+    assert m["docs_out"] == sum(want_split.values())
+    got = spark.read.parquet(str(out))
+    assert got.count() == m["docs_out"]
+    assert "split" in got.columns

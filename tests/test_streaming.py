@@ -194,3 +194,56 @@ def test_stream_drives_incremental_lpa(spark, make_graph, update_dir):
         state.labels, ["vid"], "label"
     )
     state.graph.release()
+
+
+def test_kmv_stream_matches_cold_sketch(spark, tmp_path):
+    """KMVStreamState: the sketch's mergeability applied in time — after
+    any number of batches, the maintained k-min set (and therefore the
+    estimate) EQUALS the cold kmv_distinct of everything seen, including
+    duplicate values across batches. State is <= k ints on the driver."""
+    from pyspark.sql import functions as F
+
+    from dynamicppr_spark.functions.sketch import kmv_distinct
+    from dynamicppr_spark.streaming.updates import (
+        KMVStreamState,
+        run_state_stream,
+    )
+
+    base_ts = 1_700_000_000
+    feed = tmp_path / "users"
+    feed.mkdir()
+    all_vals = []
+    for b in range(5):
+        vals = [f"user-{(b * 37 + i) % 90}" for i in range(40)]
+        all_vals += vals
+        spark.createDataFrame(
+            [(b, v) for v in vals], "batch_id bigint, user_id string"
+        ).withColumn(
+            "ts", F.timestamp_seconds(F.lit(base_ts + b))
+        ).coalesce(1).write.mode("append").parquet(str(feed))
+
+    state = KMVStreamState(spark, "user_id", k=32)
+    stream = (
+        spark.readStream.schema(
+            "batch_id bigint, user_id string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    q = run_state_stream(state, stream, query_name="kmv_users")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert state.batches_applied == 5
+    assert len(state.hs) <= 32
+
+    cold = kmv_distinct(
+        spark.createDataFrame([(v,) for v in all_vals], "user_id string"),
+        "user_id",
+        k=32,
+    ).collect()[0]
+    assert state.estimate() == cold.est_distinct
+    assert state.hs[-1] == cold.kth_hash
+    # sanity: 90 true distinct, k=32 -> estimate in the 4-sigma band
+    assert abs(state.estimate() - 90) / 90 < 0.8
