@@ -463,6 +463,23 @@ def _q_events_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_code_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document source-code shape stats (functions/text.py::
+    with_code_stats) — the code-corpus quality columns a code-LLM
+    pipeline filters on; narrow no-shuffle projection."""
+    from dynamicppr_spark.functions.text import with_code_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return with_code_stats(docs).select(
+        "doc_id",
+        "n_lines",
+        "n_comment_lines",
+        "max_line_len",
+        "avg_line_len",
+        "n_identifiers",
+    )
+
+
 def _q_doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment (functions/sample.py::
     hash_split) rolled up per (split, lang) — the eval-split primitive;
@@ -706,6 +723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hash_sample": _q_events_hash_sample,
         "events_stratified_sample": _q_events_stratified_sample,
         "doc_split_counts": _q_doc_split_counts,
+        "doc_code_stats": _q_doc_code_stats,
         "events_sketch": _q_events_sketch,
     }
 
@@ -1147,7 +1165,12 @@ def oracle_sql() -> dict[str, str]:
         kmv_distinct_by_sql as _kmv_by_sql,
         kmv_distinct_sql as _kmv_sql,
     )
-    from dynamicppr_spark.functions.text import LANG_MARKERS, STOPWORDS, TOKEN_RE
+    from dynamicppr_spark.functions.text import (
+        CODE_STATS_SQL_COLS as _code_stats_cols,
+        LANG_MARKERS,
+        STOPWORDS,
+        TOKEN_RE,
+    )
 
     stop_in = ", ".join(f"'{w}'" for w in STOPWORDS)
     sh = """
@@ -1500,6 +1523,7 @@ SELECT {_split_case('doc_id', {'train': 0.8, 'val': 0.1, 'test': 0.1})}
          AS split,
        lang, count(*) AS n_docs
 FROM documents GROUP BY 1, 2""",
+        "doc_code_stats": f"SELECT doc_id, {_code_stats_cols}\nFROM documents",
         "supplier_customer_degrees": """
 WITH e AS (
   SELECT DISTINCT CAST(l.l_suppkey AS BIGINT) AS src,

@@ -275,3 +275,63 @@ def shingle_table(docs: DataFrame, col: str = "text", k: int = 3) -> DataFrame:
         docs.select("doc_id", F.explode(sh).alias("shingle"))
         .distinct()
     )
+
+
+def with_code_stats(docs: DataFrame, col: str = "text") -> DataFrame:
+    """+ per-document source-code shape stats — the code-corpus quality
+    columns (BASELINE.json input_hint: repo files with a ``content``
+    column): n_lines, n_comment_lines ('#' or '//' after leading
+    whitespace), max_line_len, avg_line_len (round 6), n_identifiers
+    ([A-Za-z_][A-Za-z0-9_]* occurrences). A code-LLM pipeline filters on
+    exactly these (minified/generated files = huge max_line_len; docs vs
+    code = comment ratio; obfuscation = identifier density).
+
+    All built-in higher-order/regex functions (JVM codegen, narrow
+    projection, no shuffle) with exact DuckDB oracles: the regexes use
+    only syntax Java regex and RE2 agree on.
+    """
+    lines = F.split(F.col(col), "\n")
+    lens = F.transform(lines, lambda l: F.length(l))
+    return (
+        docs.withColumn("n_lines", F.size(lines).cast("bigint"))
+        .withColumn(
+            "n_comment_lines",
+            F.size(
+                F.filter(
+                    lines,
+                    lambda l: F.ltrim(l).startswith("#")
+                    | F.ltrim(l).startswith("//"),
+                )
+            ).cast("bigint"),
+        )
+        .withColumn("max_line_len", F.array_max(lens).cast("bigint"))
+        .withColumn(
+            "avg_line_len",
+            F.round(
+                F.aggregate(
+                    lens, F.lit(0).cast("bigint"), lambda a, x: a + x
+                ).cast("double")
+                / F.size(lines),
+                6,
+            ),
+        )
+        .withColumn(
+            "n_identifiers",
+            F.regexp_count(
+                F.col(col), F.lit(r"[A-Za-z_][A-Za-z0-9_]*")
+            ).cast("bigint"),
+        )
+    )
+
+
+CODE_STATS_SQL_COLS = """
+  len(string_split(text, chr(10))) AS n_lines,
+  len(list_filter(string_split(text, chr(10)),
+      l -> ltrim(l) LIKE '#%' OR ltrim(l) LIKE '//%')) AS n_comment_lines,
+  list_max(list_transform(string_split(text, chr(10)),
+      l -> length(l))) AS max_line_len,
+  round(CAST(list_sum(list_transform(string_split(text, chr(10)),
+      l -> length(l))) AS DOUBLE)
+      / len(string_split(text, chr(10))), 6) AS avg_line_len,
+  len(regexp_extract_all(text, '[A-Za-z_][A-Za-z0-9_]*'))
+      AS n_identifiers"""

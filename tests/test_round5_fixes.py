@@ -921,3 +921,30 @@ def test_run_corpus_pipeline_job(spark, tmp_path, monkeypatch, capsys):
     got = spark.read.parquet(str(out))
     assert got.count() == m["docs_out"]
     assert "split" in got.columns
+
+
+def test_code_stats_exact(spark):
+    """with_code_stats on a handcrafted snippet: exact line/comment/
+    length/identifier counts (the code-corpus quality columns), empty
+    and no-newline edge cases included."""
+    from dynamicppr_spark.functions.text import with_code_stats
+
+    snippet = "# header\n  // note\nx = foo_bar(1)\n\nreturn x"
+    rows = [(0, snippet), (1, "oneline"), (2, "")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (
+            r.n_lines,
+            r.n_comment_lines,
+            r.max_line_len,
+            r.avg_line_len,
+            r.n_identifiers,
+        )
+        for r in with_code_stats(df).collect()
+    }
+    # snippet lines: '# header'(8), '  // note'(9), 'x = foo_bar(1)'(14),
+    # ''(0), 'return x'(8); identifiers: x, foo_bar, return, x — plus
+    # header/note inside comments (the regex is lexical, not syntactic)
+    assert got[0] == (5, 2, 14, round(39 / 5, 6), 6)
+    assert got[1] == (1, 0, 7, 7.0, 1)
+    assert got[2] == (1, 0, 0, 0.0, 0)
