@@ -480,6 +480,15 @@ def _q_doc_code_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-100 word bigrams (functions/text.py::top_ngrams) — the
+    vocabulary-building table; TakeOrdered top-k, never a full sort."""
+    from dynamicppr_spark.functions.text import top_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    return top_ngrams(docs, n=2, topk=100)
+
+
 def _q_doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment (functions/sample.py::
     hash_split) rolled up per (split, lang) — the eval-split primitive;
@@ -724,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stratified_sample": _q_events_stratified_sample,
         "doc_split_counts": _q_doc_split_counts,
         "doc_code_stats": _q_doc_code_stats,
+        "doc_top_bigrams": _q_doc_top_bigrams,
         "events_sketch": _q_events_sketch,
     }
 
@@ -1167,6 +1177,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from dynamicppr_spark.functions.text import (
         CODE_STATS_SQL_COLS as _code_stats_cols,
+        top_ngrams_sql as _top_ngrams_sql,
         LANG_MARKERS,
         STOPWORDS,
         TOKEN_RE,
@@ -1524,6 +1535,7 @@ SELECT {_split_case('doc_id', {'train': 0.8, 'val': 0.1, 'test': 0.1})}
        lang, count(*) AS n_docs
 FROM documents GROUP BY 1, 2""",
         "doc_code_stats": f"SELECT doc_id, {_code_stats_cols}\nFROM documents",
+        "doc_top_bigrams": _top_ngrams_sql("documents", 2, 100),
         "supplier_customer_degrees": """
 WITH e AS (
   SELECT DISTINCT CAST(l.l_suppkey AS BIGINT) AS src,

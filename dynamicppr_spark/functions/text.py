@@ -335,3 +335,57 @@ CODE_STATS_SQL_COLS = """
       / len(string_split(text, chr(10))), 6) AS avg_line_len,
   len(regexp_extract_all(text, '[A-Za-z_][A-Za-z0-9_]*'))
       AS n_identifiers"""
+
+
+def top_ngrams(
+    docs: DataFrame, n: int = 2, topk: int = 100, col: str = "text"
+) -> DataFrame:
+    """Global top-k word n-grams with counts — the vocabulary-building
+    primitive (tokenizer/BPE prep counts exactly this table at corpus
+    scale). (ngram, n_occurrences), ordered (count DESC, ngram) so ties
+    are deterministic and the DuckDB oracle returns the identical set.
+
+    Scale shape: narrow per-row expansion (size-n sliding window via
+    transform over a sequence — no join, no UDF), one map-side-combined
+    hash aggregation, then a global top-k which Spark executes as
+    TakeOrdered (per-partition heap + driver merge of k rows), never a
+    full sort of the ngram table.
+    """
+    words = F.split(F.trim(F.lower(F.col(col))), r"\s+")
+    # guard: Spark's sequence(1, 0) counts DOWN ([1, 0]) where DuckDB's
+    # generate_series(1, 0) is empty — a doc with < n words must yield
+    # zero grams on both engines
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").cast("bigint").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(topk)
+    )
+
+
+def top_ngrams_sql(table: str, n: int = 2, topk: int = 100) -> str:
+    """DuckDB-exact oracle for ``top_ngrams`` (same tokenization, same
+    deterministic tie order)."""
+    join_expr = " || ' ' || ".join(f"ws[u.i + {j}]" for j in range(n))
+    return f"""
+    WITH w AS (
+      SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+      FROM {table}
+    ),
+    g AS (
+      SELECT {join_expr} AS ngram
+      FROM w, UNNEST(generate_series(1, greatest(len(ws) - {n - 1}, 0)))
+             AS u(i)
+    )
+    SELECT ngram, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM g GROUP BY ngram
+    ORDER BY n_occurrences DESC, ngram LIMIT {topk}
+    """

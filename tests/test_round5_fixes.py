@@ -948,3 +948,26 @@ def test_code_stats_exact(spark):
     assert got[0] == (5, 2, 14, round(39 / 5, 6), 6)
     assert got[1] == (1, 0, 7, 7.0, 1)
     assert got[2] == (1, 0, 0, 0.0, 0)
+
+
+def test_top_ngrams_exact(spark):
+    """top_ngrams: exact bigram counts on a tiny fixture, deterministic
+    tie order at the k boundary, zero grams for sub-n-word docs (the
+    Spark sequence(1,0)-counts-down trap is guarded)."""
+    from dynamicppr_spark.functions.text import top_ngrams
+
+    rows = [
+        (0, "a b a b c"),   # 'a b' x2, 'b a', 'b c'
+        (1, "a b"),          # 'a b'
+        (2, "solo"),         # no bigrams
+        (3, ""),             # no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = [(r.ngram, r.n_occurrences) for r in top_ngrams(df, 2, 3).collect()]
+    assert got == [("a b", 3), ("b a", 1), ("b c", 1)]
+    # k cuts inside a tie: ('b a', 1) beats ('b c', 1) alphabetically
+    got2 = [(r.ngram, r.n_occurrences) for r in top_ngrams(df, 2, 2).collect()]
+    assert got2 == [("a b", 3), ("b a", 1)]
+    # trigrams
+    got3 = [(r.ngram, r.n_occurrences) for r in top_ngrams(df, 3, 5).collect()]
+    assert got3 == [("a b a", 1), ("a b c", 1), ("b a b", 1)]
