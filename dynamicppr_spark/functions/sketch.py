@@ -16,9 +16,10 @@ estimated by (k-1)/u_k (unbiased for the uniform order statistic), with
 relative standard error ~ 1/sqrt(k-2). Exact below k distinct values.
 
 Scale shape: one map-side-combined DISTINCT on the 60-bit hash, then a
-two-level k-smallest merge (per-salt slice, then one flatten-slice) — the
-same salted bounded-aggregation discipline as the LSH bucket cap; no
-global sort, no window, every task bounded by k x salts rows.
+bounded k-smallest merge tree (per input-partition slice, per salt, then
+one flatten-slice — ``two_level_kmin``) — the same salted
+bounded-aggregation discipline as the LSH bucket cap; no global sort, no
+window, and no aggregation buffer that scales with the distinct count.
 """
 
 from __future__ import annotations
@@ -43,16 +44,29 @@ def two_level_kmin(
 ) -> DataFrame:
     """Per-group k smallest values of ``h_col`` as a sorted array ``hs``.
 
-    The salted two-level merge: slice to k inside each (group, salt)
-    partial, then one flatten-slice per group — every task holds at most
-    k x salts values per group, so a hot group costs O(k x salts), never
-    a global sort or a window over its full row count. Shared by the KMV
-    sketches and the stratified sampler (functions/sample.py).
+    Exact by the covering-subset argument: any globally k-smallest value
+    ranks <= k within every subset containing it, so k-min of per-subset
+    k-mins = the global k-min at each merge level.
+
+    Three bounded levels, so NO aggregation buffer ever scales with group
+    cardinality: (1) per (group, salt, input-partition) — each such group
+    lives entirely in one scan partition, so its collect_list buffer is
+    bounded by partition size (maxPartitionBytes), not by the group's
+    total distinct count, and is sliced to k before moving on; (2) per
+    (group, salt) — merges <= n_partitions arrays of k; (3) per group —
+    merges salts arrays of k. No global sort, no window. Shared by the
+    KMV sketches and the stratified sampler (functions/sample.py).
     """
-    lvl1 = (
+    lvl0 = (
         df.withColumn("_salt", F.pmod(F.col(h_col), F.lit(_KMV_SALTS)))
-        .groupBy(*group_cols, "_salt")
+        .withColumn("_p", F.spark_partition_id())
+        .groupBy(*group_cols, "_salt", "_p")
         .agg(F.slice(F.array_sort(F.collect_list(h_col)), 1, k).alias("hs"))
+    )
+    lvl1 = lvl0.groupBy(*group_cols, "_salt").agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("hs"))), 1, k
+        ).alias("hs")
     )
     return lvl1.groupBy(*group_cols).agg(
         F.slice(
