@@ -480,6 +480,16 @@ def _q_doc_code_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF term weights (functions/text.py::tfidf_terms)
+    — sparse document representation; two hash aggs + one term join, no
+    windows, no driver collect."""
+    from dynamicppr_spark.functions.text import tfidf_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_terms(docs)
+
+
 def _q_doc_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-100 word bigrams (functions/text.py::top_ngrams) — the
     vocabulary-building table; TakeOrdered top-k, never a full sort."""
@@ -734,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split_counts": _q_doc_split_counts,
         "doc_code_stats": _q_doc_code_stats,
         "doc_top_bigrams": _q_doc_top_bigrams,
+        "doc_tfidf": _q_doc_tfidf,
         "events_sketch": _q_events_sketch,
     }
 
@@ -1177,6 +1188,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from dynamicppr_spark.functions.text import (
         CODE_STATS_SQL_COLS as _code_stats_cols,
+        tfidf_terms_sql as _tfidf_sql,
         top_ngrams_sql as _top_ngrams_sql,
         LANG_MARKERS,
         STOPWORDS,
@@ -1536,6 +1548,7 @@ SELECT {_split_case('doc_id', {'train': 0.8, 'val': 0.1, 'test': 0.1})}
 FROM documents GROUP BY 1, 2""",
         "doc_code_stats": f"SELECT doc_id, {_code_stats_cols}\nFROM documents",
         "doc_top_bigrams": _top_ngrams_sql("documents", 2, 100),
+        "doc_tfidf": _tfidf_sql("documents"),
         "supplier_customer_degrees": """
 WITH e AS (
   SELECT DISTINCT CAST(l.l_suppkey AS BIGINT) AS src,

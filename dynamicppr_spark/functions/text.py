@@ -389,3 +389,62 @@ def top_ngrams_sql(table: str, n: int = 2, topk: int = 100) -> str:
     FROM g GROUP BY ngram
     ORDER BY n_occurrences DESC, ngram LIMIT {topk}
     """
+
+
+def tfidf_terms(docs: DataFrame, col: str = "text") -> DataFrame:
+    """(doc_id, term, tf, df, tfidf) — per-document TF-IDF term weights,
+    the classic sparse document representation (retrieval scoring,
+    keyword extraction, cheap near-dup features). tfidf = round(tf *
+    ln(n_docs / df), 6); ln on both engines so the DuckDB oracle is
+    value-exact.
+
+    Scale shape: narrow token explode, one hash agg on (doc_id, term)
+    for tf (map-side combined), one on term for df, an equi-join on term
+    (AQE broadcasts the df side when small), and the corpus size joined
+    in as a broadcast single-row aggregate — pure dataflow, no windows,
+    no driver collect.
+    """
+    terms = docs.select(
+        "doc_id", F.explode(_tokens(col)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    n_docs = docs.select(
+        F.countDistinct("doc_id").cast("double").alias("_n_docs")
+    )
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("_n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+def tfidf_terms_sql(table: str) -> str:
+    """DuckDB-exact oracle for ``tfidf_terms`` (same tokenization, same
+    natural-log weighting, same rounding)."""
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM {table}
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM t WHERE term <> '' GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM {table})
+    SELECT doc_id, term, tf, df,
+           round(tf * ln(n_docs / df), 6) AS tfidf
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    """

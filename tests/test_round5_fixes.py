@@ -971,3 +971,24 @@ def test_top_ngrams_exact(spark):
     # trigrams
     got3 = [(r.ngram, r.n_occurrences) for r in top_ngrams(df, 3, 5).collect()]
     assert got3 == [("a b a", 1), ("a b c", 1), ("b a b", 1)]
+
+
+def test_tfidf_terms_exact(spark):
+    """tfidf_terms on a tiny fixture: exact tf/df and hand-computed
+    ln-weighted values (unique-term idf = ln 3, everywhere-term idf = 0)."""
+    import math
+
+    from dynamicppr_spark.functions.text import tfidf_terms
+
+    rows = [(0, "a a b"), (1, "a c"), (2, "a b")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.doc_id, r.term): (r.tf, r.df, r.tfidf)
+        for r in tfidf_terms(df).collect()
+    }
+    ln = math.log
+    assert got[(0, "a")] == (2, 3, round(2 * ln(3 / 3), 6))  # idf 0
+    assert got[(0, "b")] == (1, 2, round(ln(3 / 2), 6))
+    assert got[(1, "c")] == (1, 1, round(ln(3 / 1), 6))
+    assert got[(2, "b")] == (1, 2, round(ln(3 / 2), 6))
+    assert len(got) == 6  # (0,a),(0,b),(1,a),(1,c),(2,a),(2,b)
