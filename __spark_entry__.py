@@ -490,6 +490,16 @@ def _q_doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_terms(docs)
 
 
+def _q_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords (functions/text.py::
+    top_terms_per_doc) — comparator array_sort per doc, never a window
+    over the corpus-wide term table."""
+    from dynamicppr_spark.functions.text import top_terms_per_doc
+
+    docs = load_table(spark, sf_dir, "documents")
+    return top_terms_per_doc(docs, k=3)
+
+
 def _q_doc_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-100 word bigrams (functions/text.py::top_ngrams) — the
     vocabulary-building table; TakeOrdered top-k, never a full sort."""
@@ -745,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_code_stats": _q_doc_code_stats,
         "doc_top_bigrams": _q_doc_top_bigrams,
         "doc_tfidf": _q_doc_tfidf,
+        "doc_top_terms": _q_doc_top_terms,
         "events_sketch": _q_events_sketch,
     }
 
@@ -1189,6 +1200,7 @@ def oracle_sql() -> dict[str, str]:
     from dynamicppr_spark.functions.text import (
         CODE_STATS_SQL_COLS as _code_stats_cols,
         tfidf_terms_sql as _tfidf_sql,
+        top_terms_per_doc_sql as _top_terms_sql,
         top_ngrams_sql as _top_ngrams_sql,
         LANG_MARKERS,
         STOPWORDS,
@@ -1549,6 +1561,7 @@ FROM documents GROUP BY 1, 2""",
         "doc_code_stats": f"SELECT doc_id, {_code_stats_cols}\nFROM documents",
         "doc_top_bigrams": _top_ngrams_sql("documents", 2, 100),
         "doc_tfidf": _tfidf_sql("documents"),
+        "doc_top_terms": _top_terms_sql("documents", 3),
         "supplier_customer_degrees": """
 WITH e AS (
   SELECT DISTINCT CAST(l.l_suppkey AS BIGINT) AS src,

@@ -448,3 +448,58 @@ def tfidf_terms_sql(table: str) -> str:
            round(tf * ln(n_docs / df), 6) AS tfidf
     FROM tf JOIN dfreq USING (term) CROSS JOIN n
     """
+
+
+def top_terms_per_doc(
+    docs: DataFrame, k: int = 5, col: str = "text"
+) -> DataFrame:
+    """(doc_id, rank, term, tfidf) — each document's k highest-TF-IDF
+    terms (keyword extraction / document tagging). Deterministic order:
+    (tfidf DESC, term ASC), so rank ties cut identically on every engine.
+
+    Scale shape: rides ``tfidf_terms``, then ONE hash agg per doc_id with
+    a comparator array_sort + slice — the per-doc buffer is bounded by
+    the document's own distinct-term count (bounded by doc length), so
+    no window over the corpus-wide term table and no skew beyond the
+    longest single document.
+    """
+    cmp = lambda l, r: (  # noqa: E731 — (tfidf DESC, term ASC) comparator
+        F.when(l["tfidf"] > r["tfidf"], -1)
+        .when(l["tfidf"] < r["tfidf"], 1)
+        .when(l["term"] < r["term"], -1)
+        .when(l["term"] > r["term"], 1)
+        .otherwise(0)
+        .cast("int")
+    )
+    top = (
+        tfidf_terms(docs, col)
+        .groupBy("doc_id")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("tfidf", "term")), cmp),
+                1,
+                k,
+            ).alias("top")
+        )
+    )
+    return top.select("doc_id", F.posexplode("top")).select(
+        "doc_id",
+        (F.col("pos") + 1).cast("int").alias("rank"),
+        F.col("col.term").alias("term"),
+        F.col("col.tfidf").alias("tfidf"),
+    )
+
+
+def top_terms_per_doc_sql(table: str, k: int = 5) -> str:
+    """DuckDB-exact oracle for ``top_terms_per_doc`` (row_number window
+    over the same tfidf CTE with the same tie order)."""
+    return f"""
+    WITH w AS ({tfidf_terms_sql(table)})
+    SELECT doc_id,
+           CAST(row_number() OVER (
+             PARTITION BY doc_id ORDER BY tfidf DESC, term
+           ) AS INTEGER) AS rank,
+           term, tfidf
+    FROM w
+    QUALIFY rank <= {k}
+    """

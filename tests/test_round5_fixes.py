@@ -992,3 +992,31 @@ def test_tfidf_terms_exact(spark):
     assert got[(1, "c")] == (1, 1, round(ln(3 / 1), 6))
     assert got[(2, "b")] == (1, 2, round(ln(3 / 2), 6))
     assert len(got) == 6  # (0,a),(0,b),(1,a),(1,c),(2,a),(2,b)
+
+
+def test_top_terms_per_doc_exact(spark):
+    """top_terms_per_doc: ranks cut by (tfidf DESC, term ASC) on a
+    fixture with an exact tfidf tie inside one doc; k > distinct terms
+    keeps all."""
+    import math
+
+    from dynamicppr_spark.functions.text import top_terms_per_doc
+
+    # doc 0: 'b' and 'c' tie exactly (tf=1, df=2 each); 'a' has idf 0
+    rows = [(0, "a b c"), (1, "a b d"), (2, "a c d")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.doc_id, r.rank): (r.term, r.tfidf)
+        for r in top_terms_per_doc(df, k=2).collect()
+    }
+    w = round(math.log(3 / 2), 6)
+    assert got[(0, 1)] == ("b", w)  # tie -> alphabetical
+    assert got[(0, 2)] == ("c", w)
+    assert got[(1, 1)] == ("b", w)
+    assert got[(2, 1)] == ("c", w)
+    # k larger than the doc's term count: all terms come back
+    all3 = [
+        r.rank
+        for r in top_terms_per_doc(df, k=10).filter(F.col("doc_id") == 0).collect()
+    ]
+    assert sorted(all3) == [1, 2, 3]
