@@ -331,6 +331,27 @@ def main() -> None:
             minhash_lsh_pairs(docs, num_hashes=8, bands=4).count()
 
         repeated("q_minhash_lsh", _run_minhash)
+
+    # -------- end-to-end corpus dedup (exact stage + MinHash-LSH stage +
+    # cluster consolidation + anti-join): the canonical training-data
+    # pipeline workload — throughput is input docs/sec through BOTH stages
+    if want("q_dedup_corpus"):
+        from dynamicppr_spark.functions.dedup import dedup_corpus
+
+        dedup_state: dict[str, float] = {}
+
+        def _run_dedup_corpus():
+            docs = load_table(spark, SF_DIR, "documents")
+            n_in = docs.count()
+            t = time.time()
+            n_out = dedup_corpus(docs).count()
+            dedup_state["wall"] = time.time() - t
+            return {"n_in": n_in, "n_out": n_out, "wall": dedup_state["wall"]}
+
+        res, _med = repeated("q_dedup_corpus", _run_dedup_corpus)
+        extras["dedup_docs_per_sec"] = round(res["n_in"] / res["wall"], 2)
+        extras["dedup_docs_in"] = res["n_in"]
+        extras["dedup_docs_out"] = res["n_out"]
     if want("q_cosine_topk"):
         def _run_cosine():
             emb = load_table(spark, SF_DIR, "embeddings")
