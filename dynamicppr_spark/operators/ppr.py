@@ -531,6 +531,7 @@ class PPREngine:
             {"delta": max(l1.values()) if l1 else 0.0,
              "per_source_l1": {str(k): v for k, v in l1.items()}},
             {"name": "ppr", "alpha": self.alpha, "eps": self.eps,
+             "sources": ",".join(str(s) for s in self.sources),
              "partition_key": "vid",
              "num_partitions": self.graph.num_partitions},
         )
@@ -538,15 +539,41 @@ class PPREngine:
 
     @classmethod
     def resume(
-        cls, graph: LinkGraph, sources: list[int], ckpt_dir: str, **kwargs
+        cls,
+        graph: LinkGraph,
+        sources: list[int] | None = None,
+        ckpt_dir: str = "",
+        **kwargs,
     ) -> "PPREngine":
-        """Resume a killed run mid-iteration from its durable checkpoint."""
+        """Resume a killed run mid-iteration from its durable checkpoint.
+
+        The checkpoint manifest records the original run's hyperparameters
+        (alpha, eps, sources); any of them NOT passed here is restored from
+        the manifest, so ``resume(graph, ckpt_dir=dir)`` continues the run
+        with the exact configuration that produced the checkpoint.
+        Explicit arguments still win — but note that resuming with a
+        different eps converges to a different point than the original run
+        would have (the convergence target changes, not the saved state).
+        """
         from dynamicppr_spark.operators.superstep import latest_checkpoint
 
-        eng = cls(graph, sources, ckpt_dir=ckpt_dir, **kwargs)
+        if not ckpt_dir:
+            raise ValueError("resume requires ckpt_dir")
         found = latest_checkpoint(ckpt_dir)
+        meta = (found[1].get("meta") or {}) if found is not None else {}
+        for key in ("alpha", "eps"):
+            if key not in kwargs and key in meta:
+                kwargs[key] = meta[key]
+        if sources is None:
+            if not meta.get("sources"):
+                raise ValueError(
+                    "sources not given and not recoverable from the "
+                    f"checkpoint manifest under {ckpt_dir}"
+                )
+            sources = [int(s) for s in str(meta["sources"]).split(",")]
+        eng = cls(graph, sources, ckpt_dir=ckpt_dir, **kwargs)
         if found is not None:
-            it, manifest = found
+            it, _manifest = found
             eng.state = graph.spark.read.parquet(f"{ckpt_dir}/it={it}")
             eng.metrics.supersteps = it
         return eng

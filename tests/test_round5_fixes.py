@@ -1020,3 +1020,48 @@ def test_top_terms_per_doc_exact(spark):
         for r in top_terms_per_doc(df, k=10).filter(F.col("doc_id") == 0).collect()
     ]
     assert sorted(all3) == [1, 2, 3]
+
+
+def test_ppr_resume_restores_manifest_params(spark, make_graph, tmp_path):
+    """PPREngine.resume without explicit hyperparameters restores alpha,
+    eps AND sources from the checkpoint manifest, and the resumed run's
+    converged scores equal a straight uninterrupted run's exactly (the
+    supersteps are value-deterministic, so identical configuration =>
+    identical trajectory). Guards the silent-divergence hazard where a
+    resumed engine defaulted to eps=1e-6 against an eps=1e-4 original."""
+    from dynamicppr_spark.operators.ppr import PPREngine
+    from tests.conftest import scores_to_array
+
+    edges, n = fixtures.two_cliques_bridge()
+    g = make_graph(edges, n)
+    ck = tmp_path / "ppr_resume"
+    # "killed" run: eps/alpha off-default, bounded supersteps
+    eng_a = PPREngine(
+        g, [0, 7], eps=1e-4, alpha=0.2, max_supersteps=3, ckpt_dir=str(ck)
+    )
+    eng_a.push_to_convergence()
+    assert not eng_a._converged
+    # resume with NOTHING but the graph and the checkpoint dir
+    eng_b = PPREngine.resume(g, ckpt_dir=str(ck))
+    assert eng_b.eps == 1e-4 and eng_b.alpha == 0.2
+    assert eng_b.sources == [0, 7]
+    assert eng_b.metrics.supersteps == 3
+    eng_b.push_to_convergence()
+    assert eng_b._converged
+    # straight run, same configuration, never killed
+    eng_c = PPREngine(g, [0, 7], eps=1e-4, alpha=0.2)
+    eng_c.push_to_convergence()
+    for s in (0, 7):
+        a = scores_to_array(
+            eng_b.scores().filter(F.col("source") == s), n
+        )
+        b = scores_to_array(
+            eng_c.scores().filter(F.col("source") == s), n
+        )
+        np.testing.assert_allclose(a, b, atol=0.0)  # bit-identical
+    # explicit kwargs still win over the manifest
+    eng_d = PPREngine.resume(g, ckpt_dir=str(ck), eps=5e-3)
+    assert eng_d.eps == 5e-3 and eng_d.alpha == 0.2
+    # no ckpt_dir is a loud error, not a fresh silent engine
+    with pytest.raises(ValueError):
+        PPREngine.resume(g)
