@@ -1065,3 +1065,50 @@ def test_ppr_resume_restores_manifest_params(spark, make_graph, tmp_path):
     # no ckpt_dir is a loud error, not a fresh silent engine
     with pytest.raises(ValueError):
         PPREngine.resume(g)
+
+
+def test_run_ppr_job_resume(spark, make_graph, tmp_path, monkeypatch, capsys):
+    """jobs/run_ppr.py --resume: a killed run (bounded supersteps +
+    --ckpt-dir) re-submitted with ONLY --resume --ckpt-dir restores
+    sources/alpha/eps from the manifest and converges to the straight
+    run's scores. Drives the real argparse entrypoint (getOrCreate
+    reuses the test session)."""
+    import json as _json
+    import sys as _sys
+
+    from jobs.run_ppr import main as run_ppr_main
+    from dynamicppr_spark.operators.ppr import PPREngine
+    from tests.conftest import scores_to_array
+
+    edges, n = fixtures.two_cliques_bridge()
+    rows = [(int(a), int(b)) for a, b in edges]
+    epath = str(tmp_path / "edges.parquet")
+    spark.createDataFrame(rows, "src bigint, dst bigint").write.parquet(epath)
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "scores.parquet")
+
+    # the job stops its session on exit; keep the shared test session alive
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+
+    def run(argv):
+        monkeypatch.setattr(_sys, "argv", ["run_ppr.py"] + argv)
+        run_ppr_main()
+        return _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    m1 = run([
+        "--edges", epath, "--sources", "0,7", "--eps", "1e-4",
+        "--alpha", "0.2", "--max-supersteps", "3", "--ckpt-dir", ck,
+    ])
+    assert m1["supersteps"] == 3
+    m2 = run(["--edges", epath, "--resume", "--ckpt-dir", ck, "--out", out])
+    assert m2["sources"] == [0, 7]  # restored from the manifest
+    assert m2["supersteps"] > 3
+    # straight run, same config, never killed — identical scores
+    g = make_graph(edges, n)
+    eng = PPREngine(g, [0, 7], eps=1e-4, alpha=0.2)
+    eng.push_to_convergence()
+    got = spark.read.parquet(out)
+    for s in (0, 7):
+        a = scores_to_array(got.filter(F.col("source") == s), n)
+        b = scores_to_array(eng.scores().filter(F.col("source") == s), n)
+        np.testing.assert_allclose(a, b, atol=1e-12)
