@@ -261,6 +261,19 @@ def ivf_topk(
     q = e.orderBy("vec_id").limit(n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
+    return _ivf_search(asn, q, cents, k=k, n_probe=n_probe)
+
+
+def _ivf_search(
+    asn: DataFrame, q: DataFrame, cents, k: int, n_probe: int
+) -> DataFrame:
+    """(query_id, vec_id, cos, rank): probe + rank over an existing cell
+    index. ``asn`` is the (vec_id, v, clabel) assignment table, ``q`` the
+    (query_id, qv) query batch (small, broadcast), ``cents`` the broadcast
+    (clabel, cv) quantizer. Shared by ``ivf_topk`` (index built in the
+    same plan) and the maintained streaming index
+    (streaming/updates.py::EmbeddingIndexStreamState), so both surfaces
+    rank identically by construction."""
     probe_scored = F.broadcast(q).crossJoin(cents).select(
         "query_id", "qv", "clabel", _cos(F.col("qv"), F.col("cv")).alias("ccos")
     )

@@ -537,6 +537,116 @@ class KMVStreamState:
         return round((self.k - 1) * _HASH_SPAN / self.hs[-1], 6)
 
 
+class EmbeddingIndexStreamState:
+    """Maintained IVF ANN index under a streaming embedding feed — the
+    similarity-search analogue of DedupStreamState: a rolling corpus
+    (crawl embeddings arriving, stale ones retired) stays searchable with
+    the SAME results the batch ``ivf_topk`` would give over the current
+    corpus.
+
+    The coarse quantizer (a small (clabel, cv) frame — label centroids or
+    ``kmeans_centroids``) is FIXED at construction, the standard IVF
+    contract (train once, maintain the inverted lists): per-batch
+    re-training would silently move every existing vector's cell. It is
+    collected once (k x dim doubles, driver-sized by definition) and
+    re-uploaded as one small broadcast frame per batch.
+
+    Per batch ('+'/'-' ops over (op, vec_id, embedding)):
+      - '+' vectors are assigned to their nearest cell with the batch
+        ``_assign_cells`` scan — O(|batch| x n_centroids), broadcast
+        centroids, per-vector window, never O(corpus);
+      - touched vec_ids leave the index via a broadcast anti-join (a
+        map-side scan — re-inserting an id replaces its row, '-' retires
+        it; '+' wins inside one batch, the engine-wide K2 rule);
+      - ONE checkpoint-rotated index write per batch (O(index) parquet-free
+        localCheckpoint, the same cost class as the CC/LPA label tables).
+
+    ``search(queries)`` ranks with the exact ``_ivf_search`` helper
+    ``ivf_topk`` uses, so maintained-index results == batch results over
+    the surviving corpus by construction (gated in tests, plus a 30-batch
+    soak asserting bounded persistent blocks)."""
+
+    batch_cols = ("op", "vec_id", "embedding")
+
+    def __init__(self, spark, centroids: DataFrame):
+        from dynamicppr_spark.operators.superstep import CheckpointRotator
+
+        self.spark = spark
+        self._cent_rows = sorted(
+            (int(r["clabel"]), [float(x) for x in r["cv"]])
+            for r in centroids.collect()
+        )
+        self._rot = CheckpointRotator(spark)
+        self.index = spark.createDataFrame(
+            [], "vec_id bigint, v array<double>, clabel bigint"
+        )
+        self.batches_applied = 0
+
+    def _cents(self):
+        return F.broadcast(
+            self.spark.createDataFrame(
+                self._cent_rows, "clabel bigint, cv array<double>"
+            )
+        )
+
+    def apply(self, batch_df: DataFrame) -> None:
+        from dynamicppr_spark.functions.similarity import _assign_cells
+
+        ins = batch_df.filter(F.col("op") == "+").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        # dedup re-sent ids inside one batch: keep one row per vec_id
+        # (max over the struct is deterministic; feeds the same-batch
+        # '+ wins over -' rule below through the touched set)
+        ins = (
+            ins.groupBy("vec_id")
+            .agg(F.max(F.struct("v")).alias("s"))
+            .select("vec_id", F.col("s.v").alias("v"))
+        )
+        assigned = _assign_cells(ins, self._cents())
+        touched = batch_df.select("vec_id").distinct()
+        survivors = self.index.join(
+            F.broadcast(touched), "vec_id", "left_anti"
+        )
+        self.index = self._rot.checkpoint(
+            survivors.unionByName(assigned)
+        )
+        self.batches_applied += 1
+
+    def search(
+        self, queries: DataFrame, k: int = 5, n_probe: int = 2
+    ) -> DataFrame:
+        """(query_id, vec_id, cos, rank) — IVF top-k of each (query_id,
+        embedding) row against the maintained index; identical ranking to
+        ``ivf_topk`` with the same quantizer over the current corpus."""
+        from dynamicppr_spark.functions.similarity import _ivf_search
+
+        q = queries.select(
+            "query_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+        )
+        return _ivf_search(self.index, q, self._cents(), k=k, n_probe=n_probe)
+
+    def release(self) -> None:
+        from dynamicppr_spark.rddtrack import unpersist_rdd_ids
+
+        unpersist_rdd_ids(self.spark.sparkContext, self._rot._prev_ids)
+        self._rot._prev_ids = set()
+
+
+def run_embedding_stream(
+    state: EmbeddingIndexStreamState,
+    stream_df: DataFrame,
+    watermark: str = "10 minutes",
+    query_name: str = "embedding_index",
+):
+    """Embedding-feed flavor of ``run_state_stream``."""
+    return run_state_stream(
+        state, stream_df, watermark=watermark, query_name=query_name
+    )
+
+
 def windowed_update_stats(stream_df: DataFrame, window: str = "1 minute") -> DataFrame:
     """Watermarked tumbling-window op counts (monitoring surface)."""
     return (

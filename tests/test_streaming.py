@@ -247,3 +247,162 @@ def test_kmv_stream_matches_cold_sketch(spark, tmp_path):
     assert state.hs[-1] == cold.kth_hash
     # sanity: 90 true distinct, k=32 -> estimate in the 4-sigma band
     assert abs(state.estimate() - 90) / 90 < 0.8
+
+
+def _unit_cents(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "clabel bigint, cv array<double>")
+
+
+def _vec(i: int) -> list:
+    c = i % 3
+    v = [0.0, 0.0, 0.0, 0.01 * (i % 7)]
+    v[c] = 0.8
+    v[(c + 1) % 3] = 0.1
+    return v
+
+
+def test_embedding_index_stream_matches_batch_ivf(spark, tmp_path):
+    """EmbeddingIndexStreamState under an insert/delete/replace feed: the
+    maintained index equals the cold cell assignment of the surviving
+    corpus, '+' wins over '-' inside one batch (the K2 rule), duplicate
+    '+' keeps the max struct, and search() returns exactly what the batch
+    _ivf_search gives over the survivors."""
+    from pyspark.sql import functions as F
+
+    from dynamicppr_spark.functions.similarity import _assign_cells, _ivf_search
+    from dynamicppr_spark.streaming.updates import (
+        EmbeddingIndexStreamState,
+        run_embedding_stream,
+    )
+
+    base_ts = 1_700_000_000
+    feed = tmp_path / "emb_feed"
+    feed.mkdir()
+    vb = [0.0, 0.0, 0.9, 0.0]
+    batches = [
+        [("+", i, _vec(i)) for i in range(10)],
+        [("+", i, _vec(i)) for i in range(10, 20)] + [("-", 3, None)],
+        # replace 15, same-batch -/+ on new id 99 (insert wins),
+        # duplicate '+' on 99 (max struct wins: vb > the 0.5 variant)
+        [
+            ("-", 15, None),
+            ("+", 15, [0.5, 0.5, 0.0, 0.0]),
+            ("-", 99, None),
+            ("+", 99, [0.0, 0.0, 0.5, 0.0]),
+            ("+", 99, vb),
+        ],
+    ]
+    for b, rows in enumerate(batches):
+        spark.createDataFrame(
+            [(b, op, vid, emb) for op, vid, emb in rows],
+            "batch_id bigint, op string, vec_id bigint, embedding array<double>",
+        ).withColumn(
+            "ts", F.timestamp_seconds(F.lit(base_ts + b))
+        ).coalesce(1).write.mode("append").parquet(str(feed))
+
+    cents = _unit_cents(spark)
+    state = EmbeddingIndexStreamState(spark, cents)
+    stream = (
+        spark.readStream.schema(
+            "batch_id bigint, op string, vec_id bigint, "
+            "embedding array<double>, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    q = run_embedding_stream(state, stream)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert state.batches_applied == 3
+
+    survivors = {i: _vec(i) for i in range(20) if i != 3}
+    survivors[15] = [0.5, 0.5, 0.0, 0.0]
+    survivors[99] = vb
+    got = {r["vec_id"]: (list(r["v"]), r["clabel"]) for r in state.index.collect()}
+    cold = spark.createDataFrame(
+        sorted((k, v) for k, v in survivors.items()),
+        "vec_id bigint, v array<double>",
+    )
+    want = {
+        r["vec_id"]: (list(r["v"]), r["clabel"])
+        for r in _assign_cells(cold, F.broadcast(cents)).collect()
+    }
+    assert got == want
+
+    queries = spark.createDataFrame(
+        [(1000 + c, [1.0 if d == c else 0.0 for d in range(4)]) for c in range(3)],
+        "query_id bigint, embedding array<double>",
+    )
+    got_s = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["cos"])
+        for r in state.search(queries, k=4, n_probe=2).collect()
+    )
+    q_cold = queries.select("query_id", F.col("embedding").alias("qv"))
+    want_s = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["cos"])
+        for r in _ivf_search(
+            _assign_cells(cold, F.broadcast(cents)),
+            q_cold,
+            F.broadcast(cents),
+            k=4,
+            n_probe=2,
+        ).collect()
+    )
+    assert got_s == want_s and len(got_s) == 12
+    state.release()
+
+
+def test_embedding_index_stream_soak_30_batches(spark):
+    """30-batch rolling-corpus soak for the maintained ANN index: 20
+    inserts + 10 retirements per batch, persistent block count stays flat
+    (the rotator frees each predecessor index), final index matches the
+    cold assignment of the survivors."""
+    from pyspark.sql import functions as F
+
+    from dynamicppr_spark.functions.similarity import _assign_cells
+    from dynamicppr_spark.rddtrack import persistent_rdd_ids
+    from dynamicppr_spark.streaming.updates import EmbeddingIndexStreamState
+
+    cents = _unit_cents(spark)
+    state = EmbeddingIndexStreamState(spark, cents)
+    live: dict[int, list] = {}
+    blocks = []
+    nxt = 0
+    for b in range(30):
+        rows = []
+        for _ in range(20):
+            rows.append(("+", nxt, _vec(nxt)))
+            live[nxt] = _vec(nxt)
+            nxt += 1
+        retire = sorted(live)[:10] if b % 2 else sorted(live)[-30:-20]
+        for vid in retire:
+            if len(live) > 10:
+                rows.append(("-", vid, None))
+                live.pop(vid, None)
+        state.apply(
+            spark.createDataFrame(
+                rows, "op string, vec_id bigint, embedding array<double>"
+            )
+        )
+        ids = persistent_rdd_ids(spark.sparkContext)
+        blocks.append(len(ids) if ids is not None else 0)
+    assert state.batches_applied == 30
+    q4 = max(1, len(blocks) // 4)
+    assert max(blocks[-q4:]) <= max(blocks[:q4]) + 10, (blocks[:q4], blocks[-8:])
+    cold = spark.createDataFrame(
+        sorted(live.items()), "vec_id bigint, v array<double>"
+    )
+    got = {r["vec_id"]: r["clabel"] for r in state.index.collect()}
+    want = {
+        r["vec_id"]: r["clabel"]
+        for r in _assign_cells(cold, F.broadcast(cents)).collect()
+    }
+    assert got == want
+    state.release()
