@@ -399,7 +399,11 @@ def lsh_dup_clusters(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     g = LinkGraph(edges)  # symmetrized inside connected_components
-    comp = connected_components(g).select(
+    # the dup-pair graph is near-dup-sized (<< corpus) in practice but
+    # unbounded in principle — 'auto' runs the gated driver union when it
+    # fits and the distributed min-label kernel beyond (same arbitration
+    # as PPR's bcsr / PageRank's local gate)
+    comp = connected_components(g, mode="auto").select(
         F.col("vid").alias("doc_id"), F.col("component").alias("cluster_id")
     )
     sizes = comp.groupBy("cluster_id").agg(

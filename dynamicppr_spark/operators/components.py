@@ -15,11 +15,66 @@ from dynamicppr_spark.graph import LinkGraph
 from dynamicppr_spark.operators.superstep import run_superstep_loop
 
 
+def _components_local(graph: LinkGraph) -> DataFrame:
+    """Gated local-mode K4 (same regime split as ``pagerank(mode='local')``
+    and PPREngine's bcsr path): min-vid components computed on the driver
+    over the collected edge list, as vectorized numpy min-label rounds
+    with full pointer-jumping compression between rounds (O((E+V) log V)
+    array work, no per-edge Python loop — a path graph converges in
+    O(log V) rounds because compression doubles the spread per round).
+
+    Only edge ENDPOINTS are collected (<= 2 x num_edges ids); the vertex
+    universe — which can be >> the edge list — never leaves the cluster:
+    isolated vertices get their own vid through the coalesce join, the
+    same contract as the distributed path. Semantics identical to the df
+    path (exactness gated in tests), so 'auto' arbitration is purely a
+    cost decision."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = graph.edges.select("src", "dst").toPandas()
+    spark = graph.spark
+    if len(pdf) == 0:
+        lbl = spark.createDataFrame([], "vid bigint, component bigint")
+    else:
+        src = pdf["src"].to_numpy(np.int64)
+        dst = pdf["dst"].to_numpy(np.int64)
+        ids = np.unique(np.concatenate([src, dst]))
+        s = np.searchsorted(ids, src)
+        d = np.searchsorted(ids, dst)
+        label = np.arange(len(ids), dtype=np.int64)
+        while True:
+            mn = np.minimum(label[s], label[d])
+            new = label.copy()
+            np.minimum.at(new, s, mn)
+            np.minimum.at(new, d, mn)
+            while True:
+                nn = new[new]
+                if np.array_equal(nn, new):
+                    break
+                new = nn
+            if np.array_equal(new, label):
+                break
+            label = new
+        # ids ascend, labels propagate the MIN dense index, so the root
+        # index maps back to the component's minimum vid
+        lbl = spark.createDataFrame(
+            pd.DataFrame({"vid": ids, "component": ids[label]})
+        )
+    out = graph.vertices.join(lbl, "vid", "left").select(
+        "vid", F.coalesce("component", F.col("vid")).alias("component")
+    )
+    out._dynppr_ckpt_ids = set()
+    return out
+
+
 def connected_components(
     graph: LinkGraph,
     max_iter: int = 100,
     ckpt_dir: str | None = None,
     init_labels: DataFrame | None = None,
+    mode: str = "df",
+    max_local_edges: int = 32_000_000,
 ) -> DataFrame:
     """(vid: bigint, component: bigint) with component = min vid reachable.
 
@@ -29,7 +84,26 @@ def connected_components(
     component (e.g. a previous run's labels after only edge insertions);
     min-label then converges to the min seed per new component, which is
     the true component minimum, in O(#merged components) supersteps
-    instead of O(diameter)."""
+    instead of O(diameter).
+
+    ``mode``: 'df' (distributed, default — the 100 TB path), 'local'
+    (driver union over the collected edges, gated at ``max_local_edges``),
+    'auto' (local when the edge count fits, else df — the arbitration the
+    dup-pair CC of the dedup pipeline uses, where the pair graph is
+    batch-dedup-sized by construction but unbounded in principle).
+    ``init_labels``/``ckpt_dir`` only affect the df path's convergence
+    trajectory; the result is identical in every mode."""
+    if mode not in ("df", "local", "auto"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode == "auto":
+        mode = "local" if graph.num_edges <= max_local_edges else "df"
+    if mode == "local":
+        if graph.num_edges > max_local_edges:
+            raise ValueError(
+                f"mode='local' gated at {max_local_edges} edges "
+                f"({graph.num_edges} present); use mode='auto'"
+            )
+        return _components_local(graph)
     sym = graph.symmetrized()
     p = graph.num_partitions
     edges = sym.edges.persist(StorageLevel.MEMORY_AND_DISK)

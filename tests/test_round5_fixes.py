@@ -1112,3 +1112,54 @@ def test_run_ppr_job_resume(spark, make_graph, tmp_path, monkeypatch, capsys):
         a = scores_to_array(got.filter(F.col("source") == s), n)
         b = scores_to_array(eng.scores().filter(F.col("source") == s), n)
         np.testing.assert_allclose(a, b, atol=1e-12)
+
+
+def test_components_local_mode_matches_df(spark, make_graph):
+    """Gated local-mode K4: the driver min-label/pointer-jumping path
+    equals the distributed kernel and the numpy oracle exactly — isolated
+    vertices (vertex universe >> endpoints) keep their own vid, a long
+    path (the pointer-jumping worst case) converges, the gate raises past
+    max_local_edges, and 'auto' arbitrates by edge count."""
+    from dynamicppr_spark.operators.components import connected_components
+
+    # two components + a long path + isolated vertices 40..49
+    edges = [(0, 1), (1, 2), (5, 6)]
+    edges += [(10 + i, 11 + i) for i in range(25)]  # path 10..35
+    both = edges + [(b, a) for a, b in edges]
+    n = 50
+    g = make_graph(np.array(sorted(both), dtype=np.int64), n)
+    want = oracle.connected_components(np.array(both, dtype=np.int64), n)
+    got_local = df_to_map(connected_components(g, mode="local"), ["vid"], "component")
+    got_df = df_to_map(connected_components(g), ["vid"], "component")
+    assert got_local == {v: int(want[v]) for v in range(n)}
+    assert got_local == got_df
+    # isolated vertices label themselves
+    assert all(got_local[v] == v for v in range(40, 50))
+    with pytest.raises(ValueError, match="gated"):
+        connected_components(g, mode="local", max_local_edges=3)
+    # auto: below the cap -> local result (identical anyway); above -> df
+    assert df_to_map(
+        connected_components(g, mode="auto"), ["vid"], "component"
+    ) == got_local
+    assert df_to_map(
+        connected_components(g, mode="auto", max_local_edges=3),
+        ["vid"],
+        "component",
+    ) == got_local
+    g.release()
+
+
+def test_components_local_empty_graph(spark):
+    """Local-mode K4 on an edgeless graph: every vertex is its own
+    component (the empty-collect edge case)."""
+    from dynamicppr_spark.graph import LinkGraph
+    from dynamicppr_spark.operators.components import connected_components
+
+    g = LinkGraph(
+        spark.createDataFrame([], "src bigint, dst bigint"),
+        vertices=spark.createDataFrame([(0,), (3,)], "vid bigint"),
+        num_partitions=4,
+    )
+    got = df_to_map(connected_components(g, mode="local"), ["vid"], "component")
+    assert got == {0: 0, 3: 3}
+    g.release()
