@@ -24,6 +24,11 @@ def main() -> None:
     )
     ap.add_argument("--tol", type=float, default=1e-6)
     ap.add_argument("--n-iter", type=int, default=10)
+    ap.add_argument(
+        "--mode", choices=["df", "local", "auto"], default="df",
+        help="pagerank/components: df (distributed, default), local "
+        "(gated driver kernel), auto (local when the graph fits)",
+    )
     ap.add_argument("--num-partitions", type=int, default=None)
     ap.add_argument("--ckpt-dir", default=None)
     ap.add_argument("--out", default=None)
@@ -49,9 +54,13 @@ def main() -> None:
     )
     t0 = time.time()
     if args.kernel == "pagerank":
-        out = pagerank(graph, tol=args.tol, ckpt_dir=args.ckpt_dir)
+        out = pagerank(
+            graph, tol=args.tol, ckpt_dir=args.ckpt_dir, mode=args.mode
+        )
     elif args.kernel == "components":
-        out = connected_components(graph, ckpt_dir=args.ckpt_dir)
+        out = connected_components(
+            graph, ckpt_dir=args.ckpt_dir, mode=args.mode
+        )
     elif args.kernel == "lpa":
         out = label_propagation(graph, n_iter=args.n_iter, ckpt_dir=args.ckpt_dir)
     else:
