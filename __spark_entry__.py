@@ -533,6 +533,16 @@ def _q_doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_chunks(docs, capacity=256)
 
 
+def _q_doc_pack_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack payload materialization (functions/pack.py::pack_text): each
+    256-token training window's actual token content, assembled from the
+    manifest by a keyed join + capacity-bounded per-pack agg."""
+    from dynamicppr_spark.functions.pack import pack_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_text(docs, capacity=256)
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash64(docs)
@@ -763,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stratified_sample": _q_events_stratified_sample,
         "doc_split_counts": _q_doc_split_counts,
         "doc_pack_chunks": _q_doc_pack_chunks,
+        "doc_pack_text": _q_doc_pack_text,
         "doc_code_stats": _q_doc_code_stats,
         "doc_top_bigrams": _q_doc_top_bigrams,
         "doc_tfidf": _q_doc_tfidf,
@@ -1208,7 +1219,10 @@ def oracle_sql() -> dict[str, str]:
         kmv_distinct_by_sql as _kmv_by_sql,
         kmv_distinct_sql as _kmv_sql,
     )
-    from dynamicppr_spark.functions.pack import pack_chunks_sql as _pack_sql
+    from dynamicppr_spark.functions.pack import (
+        pack_chunks_sql as _pack_sql,
+        pack_text_sql as _pack_text_sql,
+    )
     from dynamicppr_spark.functions.text import (
         CODE_STATS_SQL_COLS as _code_stats_cols,
         tfidf_terms_sql as _tfidf_sql,
@@ -1571,6 +1585,7 @@ SELECT {_split_case('doc_id', {'train': 0.8, 'val': 0.1, 'test': 0.1})}
        lang, count(*) AS n_docs
 FROM documents GROUP BY 1, 2""",
         "doc_pack_chunks": _pack_sql("documents", 256),
+        "doc_pack_text": _pack_text_sql("documents", 256),
         "doc_code_stats": f"SELECT doc_id, {_code_stats_cols}\nFROM documents",
         "doc_top_bigrams": _top_ngrams_sql("documents", 2, 100),
         "doc_tfidf": _tfidf_sql("documents"),

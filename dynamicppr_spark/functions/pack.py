@@ -59,6 +59,12 @@ def pack_chunks(
     if num_buckets <= 0:
         raise ValueError(f"num_buckets must be positive, got {num_buckets}")
 
+    # The tokenizing projection is the expensive part at scale (it reads
+    # the full text column); persist its tiny (doc_id, ntok) output so the
+    # max-id probe and the bucket totals share ONE corpus scan. The cache
+    # is released before returning (this function owns it — the repo's
+    # every-persist-has-an-owner rule), so the consumer's action re-runs
+    # the projection once: 2 corpus scans total instead of the naive 3.
     t = (
         docs.filter(F.col(col).isNotNull())
         .select(
@@ -66,11 +72,13 @@ def pack_chunks(
             F.size(_tokens(col)).cast("bigint").alias("ntok"),
         )
         .filter(F.col("ntok") > 0)
+        .persist()
     )
 
     max_id = t.agg(F.max("doc_id").alias("m")).first()["m"]
     spark = docs.sparkSession
     if max_id is None:
+        t.unpersist()
         return spark.createDataFrame(
             [],
             schema=(
@@ -96,6 +104,7 @@ def pack_chunks(
         r["_b"]: r["tot"]
         for r in b.groupBy("_b").agg(F.sum("ntok").alias("tot")).collect()
     }
+    t.unpersist()
     offsets, acc = [], 0
     for bk in sorted(counts):
         offsets.append((bk, acc))
@@ -134,6 +143,100 @@ def pack_chunks(
             .alias("slice_len"),
         )
     )
+
+
+def pack_text(
+    docs: DataFrame,
+    capacity: int,
+    col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Materialize each pack's actual token content (the shard payload).
+
+    Joins the ``pack_chunks`` manifest back to the corpus, slices each
+    document's token array to its in-pack span, and assembles the pack in
+    doc-id order. Returns one row per pack:
+
+      pack_id   bigint — the training window index
+      pack_text string — the pack's tokens joined by a single space
+      n_docs    bigint — documents contributing to this pack
+      n_tokens  bigint — token count (== capacity for all but the last)
+
+    Scale: the manifest→corpus join is a keyed equi-join (AQE picks the
+    strategy); the per-pack assembly buffer is bounded by ``capacity``
+    tokens regardless of corpus size, and within-pack order comes from an
+    array_sort over at most that many (doc_id, slice) structs — no window
+    over the corpus.
+    """
+    manifest = pack_chunks(docs, capacity, col, id_col, num_buckets)
+    toks = (
+        docs.filter(F.col(col).isNotNull())
+        .select(
+            F.col(id_col).cast("bigint").alias("doc_id"),
+            _tokens(col).alias("_t"),
+        )
+        .filter(F.size("_t") > 0)
+    )
+    sliced = manifest.join(toks, "doc_id").select(
+        "pack_id",
+        "doc_id",
+        F.array_join(
+            F.slice("_t", F.col("slice_start") + 1, F.col("slice_len")), " "
+        ).alias("_s"),
+        "slice_len",
+    )
+    return sliced.groupBy("pack_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "_s"))),
+                lambda x: x["_s"],
+            ),
+            " ",
+        ).alias("pack_text"),
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("slice_len").cast("bigint").alias("n_tokens"),
+    )
+
+
+def pack_text_sql(table: str, capacity: int) -> str:
+    """DuckDB oracle form of ``pack_text``."""
+    cap = int(capacity)
+    return f"""
+WITH t AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         string_split_regex(trim(lower(text)), '\\s+') AS tk,
+         len(string_split_regex(trim(lower(text)), '\\s+'))::BIGINT AS ntok
+  FROM {table}
+  WHERE text IS NOT NULL
+), w AS (
+  SELECT doc_id, tk, ntok,
+         COALESCE(SUM(ntok) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0)::BIGINT AS start
+  FROM t
+  WHERE ntok > 0
+), s AS (
+  SELECT p.pack_id::BIGINT AS pack_id,
+         doc_id,
+         array_to_string(list_slice(tk,
+           greatest(0, p.pack_id * {cap} - start) + 1,
+           greatest(0, p.pack_id * {cap} - start)
+             + (least(start + ntok, (p.pack_id + 1) * {cap})
+                - greatest(start, p.pack_id * {cap}))), ' ') AS sl,
+         (least(start + ntok, (p.pack_id + 1) * {cap})
+          - greatest(start, p.pack_id * {cap}))::BIGINT AS slice_len
+  FROM w,
+    UNNEST(generate_series(start // {cap}, (start + ntok - 1) // {cap}))
+      AS p(pack_id)
+)
+SELECT pack_id,
+       string_agg(sl, ' ' ORDER BY doc_id) AS pack_text,
+       count(*)::BIGINT AS n_docs,
+       sum(slice_len)::BIGINT AS n_tokens
+FROM s GROUP BY pack_id
+"""
 
 
 def pack_chunks_sql(table: str, capacity: int) -> str:

@@ -95,6 +95,40 @@ def test_pack_chunks_pack_and_doc_invariants(spark):
     assert per_doc == want
 
 
+def test_pack_text_reassembles_the_token_stream(spark):
+    """Concatenating pack_text in pack order reproduces the corpus token
+    stream exactly; every pack but the last is capacity-full."""
+    from dynamicppr_spark.functions.pack import pack_text
+
+    docs, ids, ntoks = _corpus(spark, seed=13)
+    cap = 16
+    rows = sorted(
+        pack_text(docs, capacity=cap, num_buckets=5).collect(),
+        key=lambda r: r["pack_id"],
+    )
+    # the reference stream: all docs' lowercased whitespace tokens in
+    # doc-id order (empty tokens from whitespace-only docs included,
+    # matching _tokens semantics)
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.filter("text IS NOT NULL").collect()
+    }
+    import re
+
+    stream = []
+    for d in sorted(texts):
+        stream.extend(re.split(r"\s+", texts[d].strip().lower()))
+    got_stream = []
+    for i, r in enumerate(rows):
+        assert r["pack_id"] == i
+        toks = r["pack_text"].split(" ")
+        assert len(toks) == r["n_tokens"]
+        if i < len(rows) - 1:
+            assert r["n_tokens"] == cap
+        got_stream.extend(toks)
+    assert got_stream == stream
+
+
 def test_pack_chunks_empty_and_bad_args(spark):
     empty = spark.createDataFrame([], "doc_id bigint, text string")
     out = pack_chunks(empty, capacity=8)
