@@ -533,6 +533,19 @@ def _q_doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_chunks(docs, capacity=256)
 
 
+def _q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (functions/contamination.py): fraction
+    of each train doc's 3-gram shingles occurring in a deterministic
+    10% md5-holdout eval split. Eval side deduped before the join, so
+    the shingle equi-join is multiplicity-1 — no hot-shingle blowup."""
+    from dynamicppr_spark.functions.contamination import (
+        contamination_by_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination_by_split(docs, eval_frac=0.1)
+
+
 def _q_doc_pack_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack payload materialization (functions/pack.py::pack_text): each
     256-token training window's actual token content, assembled from the
@@ -774,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split_counts": _q_doc_split_counts,
         "doc_pack_chunks": _q_doc_pack_chunks,
         "doc_pack_text": _q_doc_pack_text,
+        "doc_contamination": _q_doc_contamination,
         "doc_code_stats": _q_doc_code_stats,
         "doc_top_bigrams": _q_doc_top_bigrams,
         "doc_tfidf": _q_doc_tfidf,
@@ -1223,6 +1237,9 @@ def oracle_sql() -> dict[str, str]:
         pack_chunks_sql as _pack_sql,
         pack_text_sql as _pack_text_sql,
     )
+    from dynamicppr_spark.functions.contamination import (
+        contamination_by_split_sql as _contam_sql,
+    )
     from dynamicppr_spark.functions.text import (
         CODE_STATS_SQL_COLS as _code_stats_cols,
         tfidf_terms_sql as _tfidf_sql,
@@ -1586,6 +1603,7 @@ SELECT {_split_case('doc_id', {'train': 0.8, 'val': 0.1, 'test': 0.1})}
 FROM documents GROUP BY 1, 2""",
         "doc_pack_chunks": _pack_sql("documents", 256),
         "doc_pack_text": _pack_text_sql("documents", 256),
+        "doc_contamination": _contam_sql("documents", 0.1),
         "doc_code_stats": f"SELECT doc_id, {_code_stats_cols}\nFROM documents",
         "doc_top_bigrams": _top_ngrams_sql("documents", 2, 100),
         "doc_tfidf": _tfidf_sql("documents"),
