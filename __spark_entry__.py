@@ -533,6 +533,16 @@ def _q_doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_chunks(docs, capacity=256)
 
 
+def _q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (functions/repetition.py): top
+    token/bigram dominance + vocabulary diversity per document. Two
+    exploded hash-aggs, no windows, counts-only output (tie-free)."""
+    from dynamicppr_spark.functions.repetition import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs)
+
+
 def _q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (functions/contamination.py): fraction
     of each train doc's 3-gram shingles occurring in a deterministic
@@ -788,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_chunks": _q_doc_pack_chunks,
         "doc_pack_text": _q_doc_pack_text,
         "doc_contamination": _q_doc_contamination,
+        "doc_repetition": _q_doc_repetition,
         "doc_code_stats": _q_doc_code_stats,
         "doc_top_bigrams": _q_doc_top_bigrams,
         "doc_tfidf": _q_doc_tfidf,
@@ -1240,6 +1251,9 @@ def oracle_sql() -> dict[str, str]:
     from dynamicppr_spark.functions.contamination import (
         contamination_by_split_sql as _contam_sql,
     )
+    from dynamicppr_spark.functions.repetition import (
+        repetition_stats_sql as _rep_sql,
+    )
     from dynamicppr_spark.functions.text import (
         CODE_STATS_SQL_COLS as _code_stats_cols,
         tfidf_terms_sql as _tfidf_sql,
@@ -1604,6 +1618,7 @@ FROM documents GROUP BY 1, 2""",
         "doc_pack_chunks": _pack_sql("documents", 256),
         "doc_pack_text": _pack_text_sql("documents", 256),
         "doc_contamination": _contam_sql("documents", 0.1),
+        "doc_repetition": _rep_sql("documents"),
         "doc_code_stats": f"SELECT doc_id, {_code_stats_cols}\nFROM documents",
         "doc_top_bigrams": _top_ngrams_sql("documents", 2, 100),
         "doc_tfidf": _tfidf_sql("documents"),

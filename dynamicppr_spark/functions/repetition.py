@@ -1,0 +1,121 @@
+"""Within-document repetition statistics — the Gopher-class quality
+signals (Rae et al. 2021 §A1.1; used by MassiveText/Dolma/RedPajama
+filters): how dominated a document is by its most frequent token and
+word-bigram, and how diverse its vocabulary is. Boilerplate, keyword
+stuffing, and generation loops all show up as high top-fraction / low
+distinct-ratio long before perplexity filters see them.
+
+Scale design: token and bigram tallies are plain exploded hash-aggs
+(map-side combined, shuffled once on (doc_id, gram)); per-doc reduction
+is a second hash-agg keyed on doc_id. No windows, no per-row Python —
+only counts leave the aggregation, so there is no most-frequent-token
+tie to break and the output is bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from dynamicppr_spark.functions.text import _tokens
+
+
+def repetition_stats(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Per-document repetition signals.
+
+      doc_id           bigint
+      n_tokens         bigint — whitespace tokens (matches _tokens)
+      distinct_tokens  bigint
+      distinct_ratio   double — round(distinct/n, 6)
+      top_token_frac   double — most frequent token's share of tokens
+      top_bigram_frac  double — most frequent bigram's share of the
+                                n_tokens-1 bigrams (0.0 for 1-token docs)
+
+    Null-text docs are absent; a whitespace-only doc is one empty token.
+    """
+    toks = docs.filter(F.col(col).isNotNull()).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        _tokens(col).alias("_t"),
+    )
+    unigram = (
+        toks.select("doc_id", F.explode("_t").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("distinct_tokens"),
+            F.max("c").alias("top_c"),
+        )
+    )
+    bigram = (
+        toks.filter(F.size("_t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_t") - F.lit(2)),
+                    lambda i: F.concat_ws(
+                        " ", F.col("_t")[i], F.col("_t")[i + F.lit(1)]
+                    ),
+                )
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bc"))
+    )
+    return (
+        unigram.join(bigram, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "distinct_tokens",
+            F.round(F.col("distinct_tokens") / F.col("n_tokens"), 6).alias(
+                "distinct_ratio"
+            ),
+            F.round(F.col("top_c") / F.col("n_tokens"), 6).alias(
+                "top_token_frac"
+            ),
+            F.when(F.col("n_tokens") >= 2, F.round(
+                F.coalesce(F.col("top_bc"), F.lit(0))
+                / (F.col("n_tokens") - 1), 6,
+            )).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+        )
+    )
+
+
+def repetition_stats_sql(table: str) -> str:
+    """DuckDB oracle form of ``repetition_stats``."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM {table} WHERE text IS NOT NULL
+),
+uni AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+         count(*)::BIGINT AS distinct_tokens, max(c) AS top_c
+  FROM (
+    SELECT doc_id, g, count(*) AS c
+    FROM (SELECT doc_id, UNNEST(t) AS g FROM toks)
+    GROUP BY doc_id, g
+  ) GROUP BY doc_id
+),
+bi AS (
+  SELECT doc_id, max(c) AS top_bc
+  FROM (
+    SELECT doc_id, t[i] || ' ' || t[i+1] AS g, count(*) AS c
+    FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+    WHERE len(t) >= 2
+    GROUP BY doc_id, g
+  ) GROUP BY doc_id
+)
+SELECT uni.doc_id, n_tokens, distinct_tokens,
+       round(distinct_tokens / n_tokens, 6) AS distinct_ratio,
+       round(top_c / n_tokens, 6) AS top_token_frac,
+       CASE WHEN n_tokens >= 2
+            THEN round(COALESCE(top_bc, 0) / (n_tokens - 1), 6)
+            ELSE 0.0 END AS top_bigram_frac
+FROM uni LEFT JOIN bi ON uni.doc_id = bi.doc_id
+"""
