@@ -659,3 +659,169 @@ def windowed_update_stats(stream_df: DataFrame, window: str = "1 minute") -> Dat
             "n",
         )
     )
+
+
+class CorpusHygieneStreamState:
+    """Streaming corpus-hygiene filter — the run_corpus_pipeline stages
+    applied in-flight to a document feed: repetition quality gate +
+    benchmark decontamination (both stateless per doc) + exact dedup
+    against EVERYTHING seen so far (the stateful part).
+
+    State is one (fp, doc_id) table of seen content fingerprints with
+    their keeper, checkpoint-rotated per batch (the engine's block-
+    ownership discipline — the previous index's blocks are freed as soon
+    as the new leaf materializes). The eval shingle set is FIXED at
+    construction, the decontamination contract: benchmarks don't drift
+    with the feed. Per batch: two bounded jobs (the index checkpoint and
+    the kept-count), both O(|index| + |batch|) with broadcast-sized
+    batch sides — never a rescan of the stream's history text.
+
+    Parity: per-doc gates are order-independent, and exact duplicates
+    share text (hence repetition/contamination verdicts), so when
+    doc_ids arrive in increasing order the final kept set EQUALS the
+    cold composition repetition-gate → exact-dedup(keep min doc_id) →
+    decontamination over the full corpus (gated in tests). Out of
+    order, only the keeper choice differs (first arrival wins).
+    """
+
+    batch_cols = ("doc_id", "text")
+
+    def __init__(
+        self,
+        spark,
+        eval_docs: DataFrame | None = None,
+        max_top_bigram_frac: float | None = None,
+        min_distinct_ratio: float | None = None,
+        max_contamination: float | None = None,
+        shingle_k: int = 3,
+    ):
+        from dynamicppr_spark.functions.text import shingle_table
+        from dynamicppr_spark.operators.superstep import CheckpointRotator
+
+        if (eval_docs is None) != (max_contamination is None):
+            raise ValueError(
+                "eval_docs and max_contamination must be given together"
+            )
+        self.spark = spark
+        self.max_top_bigram_frac = max_top_bigram_frac
+        self.min_distinct_ratio = min_distinct_ratio
+        self.max_contamination = max_contamination
+        self.shingle_k = shingle_k
+        self._rot = CheckpointRotator(spark)
+        self._rot_ev = CheckpointRotator(spark)
+        self.ev = None
+        if eval_docs is not None:
+            # one-time checkpoint; this state owns the blocks (release())
+            self.ev = self._rot_ev.checkpoint(
+                shingle_table(eval_docs, k=shingle_k)
+                .select("shingle")
+                .distinct()
+            )
+        self.seen = spark.createDataFrame([], "fp string, doc_id bigint")
+        self.batches_applied = 0
+        self.docs_in = 0
+        self.docs_kept = 0
+
+    def _gate(self, batch_df: DataFrame) -> DataFrame:
+        """The stateless per-doc gates (repetition + decontamination)."""
+        from dynamicppr_spark.functions.contamination import contamination
+        from dynamicppr_spark.functions.repetition import repetition_stats
+
+        kept = batch_df
+        if (
+            self.max_top_bigram_frac is not None
+            or self.min_distinct_ratio is not None
+        ):
+            stats = repetition_stats(kept)
+            bad = F.lit(False)
+            if self.max_top_bigram_frac is not None:
+                bad = bad | (
+                    F.col("top_bigram_frac") > self.max_top_bigram_frac
+                )
+            if self.min_distinct_ratio is not None:
+                bad = bad | (
+                    F.col("distinct_ratio") < self.min_distinct_ratio
+                )
+            kept = kept.join(
+                F.broadcast(stats.filter(bad).select("doc_id")),
+                "doc_id",
+                "left_anti",
+            )
+        if self.ev is not None:
+            from dynamicppr_spark.functions.text import shingle_table
+
+            sh = shingle_table(kept, k=self.shingle_k)
+            frac = (
+                sh.join(
+                    self.ev.withColumn("_hit", F.lit(1)), "shingle", "left"
+                )
+                .groupBy("doc_id")
+                .agg(
+                    (
+                        F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                        / F.count("*")
+                    ).alias("_frac")
+                )
+            )
+            contaminated = frac.filter(
+                F.col("_frac") > self.max_contamination
+            ).select("doc_id")
+            kept = kept.join(
+                F.broadcast(contaminated), "doc_id", "left_anti"
+            )
+        return kept
+
+    def apply(self, batch_df: DataFrame) -> None:
+        self.docs_in += batch_df.count()
+        gated = self._gate(batch_df)
+        # exact dedup: keeper per fingerprint within the batch, then
+        # against everything seen (broadcast the batch side — the index
+        # side is the big one)
+        fresh = (
+            gated.select(
+                F.md5(F.trim(F.lower(F.col("text")))).alias("fp"),
+                F.col("doc_id").cast("bigint").alias("doc_id"),
+            )
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("doc_id"))
+        )
+        # which of the batch's fingerprints are already indexed: a
+        # broadcast semi-join = one map-side scan of the index (the
+        # batch side is the broadcast one — never the index)
+        hits = self.seen.select("fp").join(
+            F.broadcast(fresh.select("fp")), "fp", "left_semi"
+        )
+        new = fresh.join(F.broadcast(hits), "fp", "left_anti")
+        # ONE index checkpoint per batch; the rotator frees the previous
+        # index's blocks only after the new leaf materializes, and the
+        # kept-count reads the NEW leaf (counting `new` after rotation
+        # would re-walk a plan over the just-freed old index)
+        self.seen = self._rot.checkpoint(self.seen.unionByName(new))
+        self.docs_kept = self.seen.count()
+        self.batches_applied += 1
+
+    def kept(self) -> DataFrame:
+        """(doc_id, fp) — every document the filter has admitted."""
+        return self.seen.select("doc_id", "fp")
+
+    def release(self) -> None:
+        from dynamicppr_spark.rddtrack import unpersist_rdd_ids
+
+        sc = self.spark.sparkContext
+        unpersist_rdd_ids(sc, self._rot._prev_ids)
+        unpersist_rdd_ids(sc, self._rot_ev._prev_ids)
+        self._rot._prev_ids = set()
+        self._rot_ev._prev_ids = set()
+
+
+def run_hygiene_stream(
+    state: CorpusHygieneStreamState,
+    stream_df: DataFrame,
+    watermark: str = "10 minutes",
+    query_name: str = "corpus_hygiene",
+):
+    """Document-feed flavor of ``run_state_stream`` for the hygiene
+    filter (same micro-batch == update-batch discipline)."""
+    return run_state_stream(
+        state, stream_df, watermark=watermark, query_name=query_name
+    )
