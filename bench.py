@@ -352,6 +352,57 @@ def main() -> None:
         extras["dedup_docs_per_sec"] = round(res["n_in"] / res["wall"], 2)
         extras["dedup_docs_in"] = res["n_in"]
         extras["dedup_docs_out"] = res["n_out"]
+    # -------- corpus hygiene (repetition gate + decontamination) and
+    # sequence packing: the round-5 LLM-pipeline additions, measured as
+    # docs/sec and packed tokens/sec
+    if want("q_hygiene"):
+        from dynamicppr_spark.functions.contamination import (
+            contamination_by_split,
+        )
+        from dynamicppr_spark.functions.repetition import repetition_stats
+
+        def _run_hygiene():
+            docs = load_table(spark, SF_DIR, "documents")
+            n_in = docs.count()
+            t = time.time()
+            bad = (
+                repetition_stats(docs)
+                .filter(F.col("top_bigram_frac") > 0.9)
+                .select("doc_id")
+            )
+            kept = docs.join(bad, "doc_id", "left_anti")
+            n_flagged = (
+                contamination_by_split(kept, eval_frac=0.1)
+                .filter(F.col("contamination_frac") > 0.8)
+                .count()
+            )
+            return {
+                "n_in": n_in,
+                "n_flagged": n_flagged,
+                "wall": time.time() - t,
+            }
+
+        res, _med = repeated("q_hygiene", _run_hygiene)
+        extras["hygiene_docs_per_sec"] = round(res["n_in"] / res["wall"], 2)
+        extras["hygiene_docs_flagged"] = res["n_flagged"]
+
+    if want("q_pack"):
+        from dynamicppr_spark.functions.pack import pack_text
+
+        def _run_pack():
+            docs = load_table(spark, SF_DIR, "documents")
+            t = time.time()
+            toks = (
+                pack_text(docs, capacity=2048)
+                .agg(F.sum("n_tokens").alias("s"))
+                .collect()[0]["s"]
+            )
+            return {"n_tokens": int(toks or 0), "wall": time.time() - t}
+
+        res, _med = repeated("q_pack", _run_pack)
+        extras["pack_tokens_per_sec"] = round(res["n_tokens"] / res["wall"], 2)
+        extras["pack_tokens"] = res["n_tokens"]
+
     if want("q_cosine_topk"):
         def _run_cosine():
             emb = load_table(spark, SF_DIR, "embeddings")
