@@ -523,6 +523,51 @@ def _q_doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus repeated-line scrub (functions/dedup.py::dedup_lines)
+    — RefinedWeb-style boilerplate removal. The synthetic corpus has no
+    newlines, so this instance treats each WORD as a line (sep=' ') and
+    scrubs tokens occurring in >= 400 distinct documents: same dataflow
+    (distinct-count, anti-join, ordered reassembly), exact oracle."""
+    from dynamicppr_spark.functions.dedup import dedup_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_lines(docs, sep=" ", min_docs=400)
+
+
+# per-language token budgets for the mixture-sample query — fixed absolute
+# budgets so the same query under-samples big corpora and keeps whole small
+# ones (both paths exercised across sf dirs)
+_MIX_BUDGETS = {"en": 2000, "fr": 1500, "de": 1200, "es": 1000, "zh": 800}
+
+
+def _q_doc_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget mixture sample (functions/sample.py::
+    budget_sample) — keep docs in md5-hash order until each language's
+    token budget fills; the training-mixture quota primitive. Two-level
+    prefix sum: no window ever sees a whole group."""
+    from dynamicppr_spark.functions.sample import budget_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.lower("text")), r"\s+"))
+        .cast("bigint")
+        .alias("ntok"),
+    )
+    return budget_sample(sized, _MIX_BUDGETS, "lang", "doc_id", "ntok")
+
+
+def _q_doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (functions/text.py::redact_pii) — email/IPv4 counts and
+    placeholder-redacted text; narrow regexp projection, no shuffle."""
+    from dynamicppr_spark.functions.text import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    return redact_pii(docs)
+
+
 def _q_doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing (functions/pack.py::pack_chunks):
     the corpus token stream cut into 256-token training windows; one row
@@ -803,6 +848,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_top_bigrams": _q_doc_top_bigrams,
         "doc_tfidf": _q_doc_tfidf,
         "doc_top_terms": _q_doc_top_terms,
+        # round-5b: line-level dedup, mixture budgets, PII scrub
+        "doc_dedup_lines": _q_doc_dedup_lines,
+        "doc_budget_sample": _q_doc_budget_sample,
+        "doc_pii_redact": _q_doc_pii_redact,
         "events_sketch": _q_events_sketch,
     }
 
@@ -1254,7 +1303,14 @@ def oracle_sql() -> dict[str, str]:
     from dynamicppr_spark.functions.repetition import (
         repetition_stats_sql as _rep_sql,
     )
+    from dynamicppr_spark.functions.dedup import (
+        dedup_lines_sql as _dedup_lines_sql,
+    )
+    from dynamicppr_spark.functions.sample import (
+        budget_sample_sql as _budget_sample_sql,
+    )
     from dynamicppr_spark.functions.text import (
+        redact_pii_sql as _redact_pii_sql,
         CODE_STATS_SQL_COLS as _code_stats_cols,
         tfidf_terms_sql as _tfidf_sql,
         top_terms_per_doc_sql as _top_terms_sql,
@@ -1623,6 +1679,19 @@ FROM documents GROUP BY 1, 2""",
         "doc_top_bigrams": _top_ngrams_sql("documents", 2, 100),
         "doc_tfidf": _tfidf_sql("documents"),
         "doc_top_terms": _top_terms_sql("documents", 3),
+        "doc_dedup_lines": _dedup_lines_sql(
+            "documents", sep=" ", min_docs=400
+        ),
+        "doc_budget_sample": _budget_sample_sql(
+            "SELECT doc_id, lang,"
+            " CAST(len(string_split_regex(trim(lower(text)), '\\s+'))"
+            " AS BIGINT) AS ntok FROM documents",
+            _MIX_BUDGETS,
+            "lang",
+            "doc_id",
+            "ntok",
+        ),
+        "doc_pii_redact": _redact_pii_sql("documents"),
         "supplier_customer_degrees": """
 WITH e AS (
   SELECT DISTINCT CAST(l.l_suppkey AS BIGINT) AS src,

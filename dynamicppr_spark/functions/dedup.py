@@ -458,3 +458,104 @@ def dedup_corpus(
         F.col("doc_id") != F.col("cluster_id")
     ).select("doc_id")
     return survivors.join(losers, "doc_id", "left_anti")
+
+
+def dedup_lines(
+    docs: DataFrame,
+    col: str = "text",
+    sep: str = "\n",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-corpus repeated-line scrub (RefinedWeb/MassiveWeb line-level
+    dedup): drop every line that occurs in >= ``min_docs`` DISTINCT
+    documents (nav bars, cookie banners, license footers — boilerplate
+    that document-level dedup never sees), reassembling each document
+    from its surviving lines in original order.
+
+      doc_id      bigint
+      n_lines     bigint — lines before the scrub
+      n_kept      bigint — lines surviving
+      text_clean  string — surviving lines re-joined with ``sep``
+                           ('' when every line was boilerplate)
+
+    ``sep`` is a LITERAL separator (regex-escaped for the split, used
+    verbatim for the re-join). Null-``col`` docs are absent from the
+    output. Deterministic — md5-free, pure counting — so exactly
+    DuckDB-checkable at any corpus size.
+
+    Scale: line explode is narrow; the occurrence count is DISTINCT
+    (doc_id, line) (one shuffle) then a map-side-combined hash-agg on
+    line; membership removal is a left-anti equi-join on line (AQE
+    broadcasts the boilerplate side when small — it is |hot lines|, not
+    |corpus|); reassembly is one hash-agg keyed on doc_id whose buffer
+    is bounded by that document's own line count. No windows, no driver
+    collect, no per-row Python.
+    """
+    import re as _re
+
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+    base = docs.filter(F.col(col).isNotNull()).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.split(F.col(col), _re.escape(sep), -1).alias("_ls"),
+    )
+    lines = base.select(
+        "doc_id", F.posexplode("_ls").alias("pos", "line")
+    )
+    hot = (
+        lines.select("line", "doc_id")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= min_docs)
+        .select("line")
+    )
+    kept = (
+        lines.join(hot, "line", "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+            ).alias("text_clean"),
+        )
+    )
+    return (
+        base.select(
+            "doc_id", F.size("_ls").cast("bigint").alias("n_lines")
+        )
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
+
+
+def dedup_lines_sql(
+    table: str, col: str = "text", sep: str = "\n", min_docs: int = 2
+) -> str:
+    """DuckDB oracle form of ``dedup_lines`` (same split/count/scrub/
+    re-join; window-free except DuckDB's ordered string_agg)."""
+    s = "chr(10)" if sep == "\n" else "'" + sep.replace("'", "''") + "'"
+    return f"""
+WITH b AS (SELECT doc_id, string_split({col}, {s}) AS ls
+           FROM {table} WHERE {col} IS NOT NULL),
+l AS (SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, ls[u.i] AS line
+      FROM b, UNNEST(generate_series(1, len(ls))) AS u(i)),
+hot AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS n
+                          FROM l GROUP BY line) WHERE n >= {min_docs}),
+k AS (SELECT doc_id, count(*) AS n_kept,
+             string_agg(line, {s} ORDER BY pos) AS text_clean
+      FROM l WHERE line NOT IN (SELECT line FROM hot)
+      GROUP BY doc_id)
+SELECT b.doc_id, CAST(len(b.ls) AS BIGINT) AS n_lines,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(k.text_clean, '') AS text_clean
+FROM b LEFT JOIN k USING (doc_id)"""

@@ -125,3 +125,103 @@ def stratified_sample(
         .filter(F.col("_h") <= F.col("_thr"))
         .drop("_h", "_thr")
     )
+
+
+def budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Deterministic per-group WEIGHT-budget sample — the training-mixture
+    primitive ("2B tokens of python, 500M of prose"): within each group,
+    keep rows in md5-hash order while the EXCLUSIVE running sum of
+    ``weight_col`` is below that group's budget. The crossing row is kept
+    (a non-empty group with a positive budget always contributes >= 1
+    row); groups absent from ``budgets`` are dropped. Membership is a
+    pure function of (id, weights, budgets) — identical across engines,
+    re-runs, and repartitions, like every sampler here.
+
+    Scale: the naive form is one window over each FULL group (single-task
+    skew at a 10^9-row group). Here the hash space is cut into
+    ``n_buckets`` ranges: per-(group, bucket) sums roll up in one
+    map-side-combined agg, bucket bases come from a window over
+    <= n_buckets rows per group, and the within-bucket exclusive cumsum
+    windows over hash-UNIFORM slices of ~|group|/n_buckets rows — no
+    task ever sees a whole group, no driver collect (the pack_chunks
+    two-level prefix-sum discipline, per-group).
+    """
+    from pyspark.sql import Window
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    for g, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"negative budget for group {g!r}: {b}")
+    bwidth = (1 << 60) // n_buckets + 1
+    t = df.withColumn("_h", _kmv_hash(id_col)).withColumn(
+        "_b", F.expr(f"_h div {bwidth}")  # exact bigint division: a double
+        # quotient of a 60-bit hash rounds (2^60 > 2^53) at bucket edges
+    )
+    over_buckets = (
+        Window.partitionBy(group_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = (
+        t.groupBy(group_col, "_b")
+        .agg(F.sum(weight_col).alias("_bs"))
+        .withColumn(
+            "_base", F.coalesce(F.sum("_bs").over(over_buckets), F.lit(0))
+        )
+        .select(group_col, "_b", "_base")
+    )
+    within = (
+        Window.partitionBy(group_col, "_b")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    budget = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in budgets.items() for x in kv]
+        ),
+        F.col(group_col),
+    )
+    return (
+        t.join(bases, [group_col, "_b"])
+        .withColumn(
+            "_prev",
+            F.col("_base")
+            + F.coalesce(F.sum(weight_col).over(within), F.lit(0)),
+        )
+        .filter(F.col("_prev") < budget)
+        .drop("_h", "_b", "_base", "_prev")
+    )
+
+
+def budget_sample_sql(
+    inner: str,
+    budgets: dict[str, int],
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+) -> str:
+    """DuckDB oracle form of ``budget_sample`` over subquery ``inner``
+    (which must expose group/id/weight cols): the single-window exclusive
+    cumsum — same rows, different plan class (the oracle may window whole
+    groups; the engine must not)."""
+    case = " ".join(
+        f"WHEN '{g}' THEN {b}" for g, b in sorted(budgets.items())
+    )
+    return f"""
+WITH t AS ({inner}),
+c AS (SELECT *,
+        coalesce(sum({weight_col}) OVER (
+          PARTITION BY {group_col}
+          ORDER BY ('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 15))::BIGINT, {id_col}
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS _prev
+      FROM t)
+SELECT * EXCLUDE (_prev) FROM c
+WHERE _prev < CASE {group_col} {case} ELSE -1 END"""

@@ -503,3 +503,54 @@ def top_terms_per_doc_sql(table: str, k: int = 5) -> str:
     FROM w
     QUALIFY rank <= {k}
     """
+
+
+# Java-regex ∩ RE2 subset (the with_code_stats discipline): character
+# classes, bounded repeats, non-capturing groups and \b only, so Spark and
+# DuckDB match the exact same spans.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+
+def redact_pii(docs: DataFrame, col: str = "text") -> DataFrame:
+    """PII scrub — the pre-training privacy pass (emails and IPv4
+    literals replaced by typed placeholder tokens, counts kept so the
+    drop rate is observable per document):
+
+      doc_id         bigint
+      n_emails       bigint — email matches in the ORIGINAL text
+      n_ipv4         bigint — IPv4 matches in the original text
+      text_redacted  string — emails -> <EMAIL>, then IPv4 -> <IP>
+
+    Both counts read the original text (an email's host can never parse
+    as a bare IPv4 — the TLD is alphabetic — so the two patterns never
+    steal each other's spans). Pure regexp_count/regexp_replace in the
+    Java∩RE2 subset: JVM codegen, narrow projection, no shuffle, and the
+    identical spans fall out of DuckDB for an exact oracle. A real
+    deployment extends the pattern table (phones, SSNs, keys); each new
+    pattern is one more column in this same narrow projection.
+    """
+    c = F.col(col)
+    return docs.filter(c.isNotNull()).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.regexp_count(c, F.lit(_PII_EMAIL)).cast("bigint").alias(
+            "n_emails"
+        ),
+        F.regexp_count(c, F.lit(_PII_IPV4)).cast("bigint").alias("n_ipv4"),
+        F.regexp_replace(
+            F.regexp_replace(c, _PII_EMAIL, "<EMAIL>"), _PII_IPV4, "<IP>"
+        ).alias("text_redacted"),
+    )
+
+
+def redact_pii_sql(table: str, col: str = "text") -> str:
+    """DuckDB oracle form of ``redact_pii`` (same two patterns; RE2
+    matches the same spans as Java regex inside the restricted subset)."""
+    e, i = _PII_EMAIL, _PII_IPV4
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all({col}, '{e}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all({col}, '{i}')) AS BIGINT) AS n_ipv4,
+       regexp_replace(regexp_replace({col}, '{e}', '<EMAIL>', 'g'),
+                      '{i}', '<IP>', 'g') AS text_redacted
+FROM {table} WHERE {col} IS NOT NULL"""
