@@ -351,6 +351,17 @@ def _q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_seed_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances from a seed set (operators/
+    distances.py::seed_distances) — the TrustRank-style seed-propagation
+    feature. Fixed 6 rounds so the DuckDB oracle unrolls the identical
+    union-min algebra; frontier-pruned push, O(E) total work."""
+    from dynamicppr_spark.operators.distances import seed_distances
+
+    g = _cooccur_graph(spark, sf_dir)
+    return seed_distances(g, [0, 7], n_iter=6, until_stable=False)
+
+
 def _q_lpa_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dynamicppr_spark.operators.lpa import label_propagation
 
@@ -809,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_top20": _q_ppr_top20,
         "component_sizes": _q_component_sizes,
         "lpa_label_sizes": _q_lpa_sizes,
+        "seed_distances": _q_seed_distances,
         "doc_simhash": _q_simhash,
         # banded SimHash Hamming pairs (round-5): completes the dedup
         # modality set with pair extraction for every signature family
@@ -1306,6 +1318,9 @@ def oracle_sql() -> dict[str, str]:
     from dynamicppr_spark.functions.dedup import (
         dedup_lines_sql as _dedup_lines_sql,
     )
+    from dynamicppr_spark.operators.distances import (
+        seed_distances_sql as _seed_dist_sql,
+    )
     from dynamicppr_spark.functions.sample import (
         budget_sample_sql as _budget_sample_sql,
     )
@@ -1720,6 +1735,7 @@ GROUP BY label, pos""",
         "weighted_pagerank_top20": _weighted_pagerank_sql(PR_FIXED_ITERS),
         "ppr_top20": _ppr_sql(PPR_FIXED_SWEEPS),
         "lpa_label_sizes": _lpa_sql(LPA_FIXED_ITERS),
+        "seed_distances": _seed_dist_sql(_EDGES, [0, 7], 6),
         "component_sizes": _cc_sql(),
         "doc_simhash": _simhash_sql(),
         "simhash_neardup_pairs": _simhash_pairs_sql(),

@@ -230,6 +230,31 @@ class LPAStreamState(_MaintainedLabelState):
         return label_propagation_incremental(graph, labels, batch)
 
 
+class SeedDistanceStreamState(_MaintainedLabelState):
+    """Seed distances (operators/distances.py) maintained under a
+    stream: insert batches warm-relax from the previous distance table
+    (inserts only shorten distances); any delete in a batch takes the
+    explicit cold-recompute guard in seed_distances_incremental."""
+
+    label_col = "dist"
+
+    def __init__(self, graph, seeds, dists=None):
+        self._seeds = sorted({int(s) for s in seeds})
+        super().__init__(graph, dists)
+
+    def _cold(self, graph):
+        from dynamicppr_spark.operators.distances import seed_distances
+
+        return seed_distances(graph, self._seeds)
+
+    def _incremental(self, graph, dists, batch):
+        from dynamicppr_spark.operators.distances import (
+            seed_distances_incremental,
+        )
+
+        return seed_distances_incremental(graph, self._seeds, dists, batch)
+
+
 def run_label_stream(
     state: _MaintainedLabelState,
     stream_df: DataFrame,

@@ -158,3 +158,27 @@ def triangle_count(edges: np.ndarray, n: int) -> int:
         for b in highs:
             total += len(highs & nbrs.get(b, set()))
     return total
+
+
+def seed_distances(
+    edges: np.ndarray, n: int, seeds, max_hops: int | None = None
+) -> dict[int, int]:
+    """Directed multi-source BFS: {vid: min hops from any seed} for
+    reachable vertices only (optionally truncated at ``max_hops``)."""
+    from collections import deque
+
+    e = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
+    adj: dict[int, list[int]] = {}
+    for a, b in e:
+        adj.setdefault(int(a), []).append(int(b))
+    dist = {int(s): 0 for s in seeds if 0 <= int(s) < n}
+    dq = deque(dist)
+    while dq:
+        v = dq.popleft()
+        if max_hops is not None and dist[v] >= max_hops:
+            continue
+        for w in adj.get(v, ()):
+            if w not in dist:
+                dist[w] = dist[v] + 1
+                dq.append(w)
+    return dist

@@ -1,0 +1,120 @@
+"""Seed-distance kernel (operators/distances.py): multi-source BFS hop
+counts, pinned by the pure-Python BFS in tests/oracle.py — static,
+fixed-iteration truncation, incremental insert warm start, the delete
+cold-recompute guard, and the maintained stream state."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests import fixtures, oracle
+
+
+def _dist_map(df):
+    return {r["vid"]: r["dist"] for r in df.collect()}
+
+
+def test_seed_distances_path_and_truncation(spark, make_graph):
+    from dynamicppr_spark.operators.distances import seed_distances
+
+    edges, n = fixtures.path_graph(8)  # 0 -> 1 -> ... -> 7
+    g = make_graph(edges, n)
+    got = _dist_map(seed_distances(g, [0]))
+    assert got == {v: v for v in range(n)}
+    # fixed-iteration form truncates at the hop horizon (the oracle's
+    # unrolled algebra) — only the <=2-hop shell is emitted
+    got2 = _dist_map(seed_distances(g, [0], n_iter=2, until_stable=False))
+    assert got2 == {0: 0, 1: 1, 2: 2}
+    with pytest.raises(ValueError):
+        seed_distances(g, [])
+    g.release()
+
+
+def test_seed_distances_multi_seed_random(spark, make_graph):
+    from dynamicppr_spark.operators.distances import seed_distances
+
+    edges, n = fixtures.rmat_graph(n=80, m=320, seed=11)
+    g = make_graph(edges, n)
+    seeds = [0, 17, 42]
+    assert _dist_map(seed_distances(g, seeds)) == oracle.seed_distances(
+        edges, n, seeds
+    )
+    g.release()
+
+
+def test_seed_distances_incremental_insert_and_delete(spark, make_graph):
+    from dynamicppr_spark.operators.distances import (
+        seed_distances,
+        seed_distances_incremental,
+    )
+
+    edges, n = fixtures.path_graph(10)
+    g = make_graph(edges, n)
+    prev = seed_distances(g, [0])
+
+    # insert a shortcut 0 -> 8: warm relax must shorten 8 and 9
+    ins = spark.createDataFrame(
+        [("+", 0, 8)], "op string, src bigint, dst bigint"
+    )
+    d2, g2 = seed_distances_incremental(g, [0], prev, ins)
+    want = dict(oracle.seed_distances(
+        np.vstack([edges, [[0, 8]]]), n, [0]
+    ))
+    assert _dist_map(d2) == want and want[8] == 1 and want[9] == 2
+
+    # delete the shortcut again: the guard recomputes cold and restores
+    # the original chain distances
+    dele = spark.createDataFrame(
+        [("-", 0, 8)], "op string, src bigint, dst bigint"
+    )
+    d3, g3 = seed_distances_incremental(g2, [0], d2, dele)
+    assert _dist_map(d3) == {v: v for v in range(n)}
+    g3.release()
+
+
+def test_seed_distance_stream_matches_cold(spark, make_graph, tmp_path):
+    """Maintained stream state: insert-heavy feed through
+    run_state_stream equals a cold BFS on the final graph."""
+    from dynamicppr_spark.streaming.updates import (
+        UPDATE_SCHEMA,
+        SeedDistanceStreamState,
+        run_label_stream,
+    )
+
+    edges, n = fixtures.rmat_graph(n=50, m=160, seed=5)
+    rng = np.random.default_rng(9)
+    cur = {tuple(e) for e in np.unique(edges, axis=0)}
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    for b in range(4):
+        rows = []
+        for _ in range(3):
+            s, d = int(rng.integers(0, n)), int(rng.integers(0, n))
+            if s != d and (s, d) not in cur:
+                rows.append((b, "+", s, d))
+                cur.add((s, d))
+        if b == 2 and cur:  # one delete to exercise the guard mid-stream
+            s, d = sorted(cur)[0]
+            rows.append((b, "-", int(s), int(d)))
+            cur.discard((s, d))
+        spark.createDataFrame(
+            rows, "batch_id bigint, op string, src bigint, dst bigint"
+        ).withColumn(
+            "ts", F.timestamp_seconds(F.lit(1_700_000_000 + b))
+        ).coalesce(1).write.mode("append").parquet(str(feed))
+
+    st = SeedDistanceStreamState(make_graph(edges, n), [0, 3])
+    stream = spark.readStream.schema(UPDATE_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(feed))
+    q = run_label_stream(st, stream, query_name="seed_dist_stream")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert st.batches_applied == 4
+    final = np.array(sorted(cur), dtype=np.int64)
+    assert _dist_map(st.labels) == oracle.seed_distances(final, n, [0, 3])
+    st.graph.release()
