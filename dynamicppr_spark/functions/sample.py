@@ -151,7 +151,10 @@ def budget_sample(
     <= n_buckets rows per group, and the within-bucket exclusive cumsum
     windows over hash-UNIFORM slices of ~|group|/n_buckets rows — no
     task ever sees a whole group, no driver collect (the pack_chunks
-    two-level prefix-sum discipline, per-group).
+    two-level prefix-sum discipline, per-group). The input is read twice
+    (bucket sums + the join back) — both reads are the same narrow
+    (group, id, weight) projection, so column pruning reaches the scan;
+    persist the projection upstream if it is expensive to recompute.
     """
     from pyspark.sql import Window
 
