@@ -362,6 +362,17 @@ def _q_seed_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seed_distances(g, [0, 7], n_iter=6, until_stable=False)
 
 
+def _q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (operators/kcore.py::k_core) — the link-graph
+    density filter. Fixed 6 synchronous peel rounds so the DuckDB oracle
+    unrolls the identical remove-and-decrement algebra; each round joins
+    only the just-removed set, O(E) total."""
+    from dynamicppr_spark.operators.kcore import k_core
+
+    g = _cooccur_graph(spark, sf_dir)
+    return k_core(g, k=60, n_iter=6, until_stable=False)
+
+
 def _q_lpa_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dynamicppr_spark.operators.lpa import label_propagation
 
@@ -821,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "component_sizes": _q_component_sizes,
         "lpa_label_sizes": _q_lpa_sizes,
         "seed_distances": _q_seed_distances,
+        "k_core": _q_k_core,
         "doc_simhash": _q_simhash,
         # banded SimHash Hamming pairs (round-5): completes the dedup
         # modality set with pair extraction for every signature family
@@ -1321,6 +1333,7 @@ def oracle_sql() -> dict[str, str]:
     from dynamicppr_spark.operators.distances import (
         seed_distances_sql as _seed_dist_sql,
     )
+    from dynamicppr_spark.operators.kcore import k_core_sql as _k_core_sql
     from dynamicppr_spark.functions.sample import (
         budget_sample_sql as _budget_sample_sql,
     )
@@ -1736,6 +1749,7 @@ GROUP BY label, pos""",
         "ppr_top20": _ppr_sql(PPR_FIXED_SWEEPS),
         "lpa_label_sizes": _lpa_sql(LPA_FIXED_ITERS),
         "seed_distances": _seed_dist_sql(_EDGES, [0, 7], 6),
+        "k_core": _k_core_sql(_EDGES, 60, 6),
         "component_sizes": _cc_sql(),
         "doc_simhash": _simhash_sql(),
         "simhash_neardup_pairs": _simhash_pairs_sql(),

@@ -182,3 +182,20 @@ def seed_distances(
                 dist[w] = dist[v] + 1
                 dq.append(w)
     return dist
+
+
+def k_core(edges: np.ndarray, n: int, k: int) -> dict[int, int]:
+    """{vid: within-core degree} of the undirected k-core (synchronous
+    peel: each round removes every vertex of current degree < k)."""
+    e = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
+    und = {(min(a, b), max(a, b)) for a, b in e if a != b}
+    nbrs: dict[int, set[int]] = {}
+    for a, b in und:
+        nbrs.setdefault(int(a), set()).add(int(b))
+        nbrs.setdefault(int(b), set()).add(int(a))
+    alive = set(nbrs)
+    while True:
+        doomed = {v for v in alive if len(nbrs[v] & alive) < k}
+        if not doomed:
+            return {v: len(nbrs[v] & alive) for v in alive}
+        alive -= doomed
