@@ -563,6 +563,17 @@ def _q_doc_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIX_BUDGETS = {"en": 2000, "fr": 1500, "de": 1200, "es": 1000, "zh": 800}
 
 
+def _q_doc_collapse_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document consecutive-duplicate collapse (functions/
+    dedup.py::collapse_repeated_lines) — the local half of line-level
+    cleanup; pure narrow array filter, no shuffle. sep=' ' collapses the
+    synthetic corpus's word-stutter runs."""
+    from dynamicppr_spark.functions.dedup import collapse_repeated_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    return collapse_repeated_lines(docs, sep=" ")
+
+
 def _q_doc_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token-budget mixture sample (functions/sample.py::
     budget_sample) — keep docs in md5-hash order until each language's
@@ -874,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_top_terms": _q_doc_top_terms,
         # round-5b: line-level dedup, mixture budgets, PII scrub
         "doc_dedup_lines": _q_doc_dedup_lines,
+        "doc_collapse_lines": _q_doc_collapse_lines,
         "doc_budget_sample": _q_doc_budget_sample,
         "doc_pii_redact": _q_doc_pii_redact,
         "events_sketch": _q_events_sketch,
@@ -1328,6 +1340,7 @@ def oracle_sql() -> dict[str, str]:
         repetition_stats_sql as _rep_sql,
     )
     from dynamicppr_spark.functions.dedup import (
+        collapse_repeated_lines_sql as _collapse_lines_sql,
         dedup_lines_sql as _dedup_lines_sql,
     )
     from dynamicppr_spark.operators.distances import (
@@ -1710,6 +1723,7 @@ FROM documents GROUP BY 1, 2""",
         "doc_dedup_lines": _dedup_lines_sql(
             "documents", sep=" ", min_docs=400
         ),
+        "doc_collapse_lines": _collapse_lines_sql("documents", sep=" "),
         "doc_budget_sample": _budget_sample_sql(
             "SELECT doc_id, lang,"
             " CAST(len(string_split_regex(trim(lower(text)), '\\s+'))"

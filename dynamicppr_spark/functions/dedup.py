@@ -559,3 +559,61 @@ SELECT b.doc_id, CAST(len(b.ls) AS BIGINT) AS n_lines,
        CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
        coalesce(k.text_clean, '') AS text_clean
 FROM b LEFT JOIN k USING (doc_id)"""
+
+
+def collapse_repeated_lines(
+    docs: DataFrame, col: str = "text", sep: str = "\n"
+) -> DataFrame:
+    """Within-document consecutive-duplicate-line collapse — the local
+    half of line-level cleanup (``dedup_lines`` is the cross-corpus
+    half): runs of the same line collapse to one occurrence, preserving
+    order. Catches stutter loops, repeated headers and copy-paste runs
+    that the cross-corpus scrub leaves alone (a line unique to one doc
+    is never boilerplate, however many times it repeats locally).
+
+      doc_id      bigint
+      n_lines     bigint — lines before the collapse
+      n_kept      bigint — lines after
+      text_clean  string — collapsed text re-joined with ``sep``
+
+    A pure NARROW projection — split, one index-lambda array filter,
+    re-join; no explode, no shuffle, no UDF (plan-asserted in tests) —
+    so at 100 TB it rides the scan for free. Null-``col`` docs are
+    absent.
+    """
+    import re as _re
+
+    ls = F.split(F.col(col), _re.escape(sep), -1)
+    base = docs.filter(F.col(col).isNotNull()).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), ls.alias("_ls")
+    )
+    # filter's lambda index is 0-based while element_at is 1-based, so
+    # element_at(_ls, i) IS the previous element of position i
+    kept = F.filter(
+        F.col("_ls"),
+        lambda x, i: (i == F.lit(0)) | (F.element_at(F.col("_ls"), i) != x),
+    )
+    return base.select(
+        "doc_id",
+        F.size("_ls").cast("bigint").alias("n_lines"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        F.concat_ws(sep, kept).alias("text_clean"),
+    )
+
+
+def collapse_repeated_lines_sql(
+    table: str, col: str = "text", sep: str = "\n"
+) -> str:
+    """DuckDB oracle form of ``collapse_repeated_lines`` (1-based
+    list_filter: element i-1 is the predecessor)."""
+    s = "chr(10)" if sep == "\n" else "'" + sep.replace("'", "''") + "'"
+    return f"""
+SELECT doc_id,
+       CAST(len(ls) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       list_aggregate(kept, 'string_agg', {s}) AS text_clean
+FROM (
+  SELECT doc_id, ls,
+         list_filter(ls, (x, i) -> i = 1 OR ls[i - 1] <> x) AS kept
+  FROM (SELECT doc_id, string_split({col}, {s}) AS ls
+        FROM {table} WHERE {col} IS NOT NULL))"""

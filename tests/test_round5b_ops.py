@@ -160,3 +160,34 @@ def test_redact_pii_exact(spark):
     # narrow projection: no shuffle anywhere in the plan
     plan = redact_pii(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ------------------------------------------------- collapse_repeated_lines
+def test_collapse_repeated_lines_exact(spark):
+    from dynamicppr_spark.functions.dedup import collapse_repeated_lines
+
+    rows = [
+        (1, "a\na\nb\na\nc\nc\nc"),   # runs collapse, order kept
+        (2, "x"),                      # single line unchanged
+        (3, "\n\nq\n\n"),              # empty-string runs collapse too
+        (4, None),                     # null absent
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["text_clean"])
+        for r in collapse_repeated_lines(docs).collect()
+    }
+    assert got == {
+        1: (7, 4, "a\nb\na\nc"),
+        2: (1, 1, "x"),
+        3: (5, 3, "\nq\n"),
+    }
+    # narrow projection: no shuffle, no explode, no Python UDF
+    plan = (
+        collapse_repeated_lines(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Generate" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
