@@ -1,8 +1,9 @@
-"""spark-submit entrypoint: batch kernels (PageRank / CC / LPA / triangles).
+"""spark-submit entrypoint: batch kernels (PageRank / CC / LPA / triangles /
+seed distances / k-core).
 
     spark-submit --py-files dist/dynamicppr_spark.zip jobs/run_batch_kernels.py \
-        --edges <parquet> --kernel pagerank|components|lpa|triangles \
-        [--tol 1e-6] [--out <parquet>]
+        --edges <parquet> --kernel pagerank|components|lpa|triangles|distances|kcore \
+        [--tol 1e-6] [--seeds 0,7] [--k 10] [--out <parquet>]
 """
 
 from __future__ import annotations
@@ -20,7 +21,10 @@ def main() -> None:
     ap.add_argument(
         "--kernel",
         required=True,
-        choices=["pagerank", "components", "lpa", "triangles"],
+        choices=[
+            "pagerank", "components", "lpa", "triangles",
+            "distances", "kcore",
+        ],
     )
     ap.add_argument("--tol", type=float, default=1e-6)
     ap.add_argument("--n-iter", type=int, default=10)
@@ -28,6 +32,13 @@ def main() -> None:
         "--mode", choices=["df", "local", "auto"], default="df",
         help="pagerank/components: df (distributed, default), local "
         "(gated driver kernel), auto (local when the graph fits)",
+    )
+    ap.add_argument(
+        "--seeds", default="0",
+        help="distances: comma-separated seed vertex ids",
+    )
+    ap.add_argument(
+        "--k", type=int, default=10, help="kcore: minimum within-core degree"
     )
     ap.add_argument("--num-partitions", type=int, default=None)
     ap.add_argument("--ckpt-dir", default=None)
@@ -63,6 +74,15 @@ def main() -> None:
         )
     elif args.kernel == "lpa":
         out = label_propagation(graph, n_iter=args.n_iter, ckpt_dir=args.ckpt_dir)
+    elif args.kernel == "distances":
+        from dynamicppr_spark.operators.distances import seed_distances
+
+        seeds = [int(s) for s in args.seeds.split(",") if s != ""]
+        out = seed_distances(graph, seeds, ckpt_dir=args.ckpt_dir)
+    elif args.kernel == "kcore":
+        from dynamicppr_spark.operators.kcore import k_core
+
+        out = k_core(graph, args.k, ckpt_dir=args.ckpt_dir)
     else:
         out = triangle_count(graph, orient_by_degree=True)
     n = out.count()
