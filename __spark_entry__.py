@@ -88,6 +88,15 @@ def _q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_vertex_triangles(_cooccur_graph(spark, sf_dir))
 
 
+def _q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient (operators/triangles.py::
+    clustering_coefficients) — per-vertex cohesion from the engine's own
+    K6 per-vertex counts + degree table; round(·,6) value parity."""
+    from dynamicppr_spark.operators.triangles import clustering_coefficients
+
+    return clustering_coefficients(_cooccur_graph(spark, sf_dir))
+
+
 def _q_top_cooccur_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _cooccur_graph(spark, sf_dir)
     part = load_table(spark, sf_dir, "part")
@@ -816,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_distribution": _q_degree_distribution,
         "triangle_count": _q_triangles,
         "triangles_per_vertex": _q_triangles_per_vertex,
+        "clustering_coeff": _q_clustering_coeff,
         "top_cooccur_parts": _q_top_cooccur_parts,
         "cooccur_brand_cube": _q_cooccur_brand_cube,
         "tpch_q1_pricing": _q_tpch_q1,
@@ -1408,6 +1418,27 @@ verts AS (SELECT DISTINCT src AS vid FROM e)
 SELECT v.vid, COALESCE(c.n, 0)::BIGINT AS triangles
 FROM verts v
 LEFT JOIN (SELECT vid, count(*) AS n FROM corners GROUP BY vid) c USING (vid)""",
+        "clustering_coeff": f"""
+WITH {_EDGES},
+tri AS (
+  SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+  FROM und e1
+  JOIN und e2 ON e1.dst = e2.src
+  JOIN und e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+corners AS (
+  SELECT x AS vid FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+),
+deg AS (SELECT src AS vid, count(*) AS outdeg FROM e GROUP BY src)
+SELECT d.vid,
+       round(CASE WHEN d.outdeg >= 2
+                  THEN 2.0 * coalesce(c.n, 0) / (d.outdeg * (d.outdeg - 1))
+                  ELSE 0.0 END, 6) AS lcc
+FROM deg d
+LEFT JOIN (SELECT vid, count(*) AS n FROM corners GROUP BY vid) c
+  USING (vid)""",
         "top_cooccur_parts": f"""
 WITH {_EDGES},
 deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)

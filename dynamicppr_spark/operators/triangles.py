@@ -314,3 +314,40 @@ def per_vertex_triangles(
     return graph.vertices.join(counts, "vid", "left").select(
         "vid", F.coalesce("triangles", F.lit(0)).cast("bigint").alias("triangles")
     )
+
+
+def clustering_coefficients(graph: LinkGraph) -> DataFrame:
+    """(vid, lcc) — local clustering coefficient, the standard link-graph
+    cohesion feature (spam farms and scraped mirrors sit at the extremes):
+    lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) over the simple undirected
+    graph, 0.0 when deg < 2; round(·, 6) for cross-engine value parity.
+
+    Pure composition of the engine's own surfaces — per_vertex_triangles
+    (degree-oriented wedge join) plus a SIMPLE-graph degree (distinct
+    canonical pairs: out_degrees would under-count one-directionally
+    stored edges and double-count parallel duplicates) — one keyed join;
+    inherits both plans' scale properties, adds one shuffle."""
+    tri = per_vertex_triangles(graph)
+    deg = (
+        graph.edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .select(F.explode(F.array("a", "b")).alias("vid"))
+        .groupBy("vid")
+        .agg(F.count("*").alias("outdeg"))
+    )
+    return tri.join(deg, "vid").select(
+        "vid",
+        F.round(
+            F.when(
+                F.col("outdeg") >= 2,
+                2.0
+                * F.col("triangles")
+                / (F.col("outdeg") * (F.col("outdeg") - 1)),
+            ).otherwise(0.0),
+            6,
+        ).alias("lcc"),
+    )

@@ -60,3 +60,38 @@ def test_per_vertex_triangles(spark, make_graph):
     got = df_to_map(per_vertex_triangles(g), ["vid"], "triangles")
     # every clique vertex is in C(5,2)=10 triangles; bridge adds none
     assert all(got[v] == 10 for v in range(n))
+
+
+def test_clustering_coefficients(spark, make_graph):
+    """lcc = 2*tri / (deg*(deg-1)), 0 when deg < 2 — checked against a
+    brute-force set computation on the bridged-cliques fixture and a
+    random graph."""
+    from dynamicppr_spark.operators.triangles import clustering_coefficients
+
+    def brute(edges, n):
+        und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+        nbrs: dict[int, set[int]] = {v: set() for v in range(n)}
+        for a, b in und:
+            nbrs[int(a)].add(int(b))
+            nbrs[int(b)].add(int(a))
+        out = {}
+        for v in range(n):
+            d = len(nbrs[v])
+            if d < 2:
+                if d > 0:
+                    out[v] = 0.0
+                continue
+            t = sum(
+                len(nbrs[v] & nbrs[w]) for w in nbrs[v]
+            ) // 2
+            out[v] = round(2.0 * t / (d * (d - 1)), 6)
+        return out
+
+    for edges, n in (
+        fixtures.two_cliques_bridge(),
+        fixtures.rmat_graph(n=120, m=700, seed=21),
+    ):
+        g = make_graph(edges, n)
+        got = df_to_map(clustering_coefficients(g), ["vid"], "lcc")
+        assert got == brute(edges, n)
+        g.release()
