@@ -287,6 +287,34 @@ def main() -> None:
     if want("q_triangles"):
         repeated("q_triangles", lambda: triangle_count(g).collect())
 
+    # -------- K9 seed distances (frontier-pruned multi-source BFS)
+    if want("q_seed_distances"):
+        from dynamicppr_spark.operators.distances import seed_distances
+
+        def _run_distances():
+            out = seed_distances(g, [0, 1, 2, 3])
+            n = out.count()
+            return {"reached": float(n)}
+
+        res, _ = repeated("q_seed_distances", _run_distances)
+        extras["seed_distance_reached"] = res["reached"]
+
+    # -------- K10 k-core (delta peel)
+    if want("q_kcore"):
+        from dynamicppr_spark.operators.kcore import k_core
+
+        # k at the mean degree drives a real multi-round peel cascade on
+        # this dense co-occurrence graph (k << mean removes nothing)
+        kc = max(2, n_edges // max(1, int(extras["n_vertices"])))
+
+        def _run_kcore():
+            out = k_core(g, kc)
+            n = out.count()
+            return {"core": float(n)}
+
+        res, _ = repeated("q_kcore", _run_kcore)
+        extras["kcore_vertices"] = res["core"]
+
     # -------- K6 incremental maintenance under ±edge batches (round-4):
     # gained/lost touched-triple deltas instead of a full recount. Each
     # repeat streams fresh batches into the EVOLVING maintained count
