@@ -234,7 +234,13 @@ class SeedDistanceStreamState(_MaintainedLabelState):
     """Seed distances (operators/distances.py) maintained under a
     stream: insert batches warm-relax from the previous distance table
     (inserts only shorten distances); any delete in a batch takes the
-    explicit cold-recompute guard in seed_distances_incremental."""
+    explicit cold-recompute guard in seed_distances_incremental.
+
+    Feeds that keep INTRODUCING NEW VERTICES grow the graph's delta
+    chain ~1 checkpoint block per batch; lower the caller-owned graph's
+    ``compact_max_chain_blocks`` (the dedup stream uses 8) to trade an
+    amortized O(E/N) fold for an O(N) block bound — gated by the
+    30-batch soak in tests/test_distances.py."""
 
     label_col = "dist"
 

@@ -118,3 +118,92 @@ def test_seed_distance_stream_matches_cold(spark, make_graph, tmp_path):
     final = np.array(sorted(cur), dtype=np.int64)
     assert _dist_map(st.labels) == oracle.seed_distances(final, n, [0, 3])
     st.graph.release()
+
+
+def test_soak_seed_distance_stream_30_batches(spark, make_graph, tmp_path):
+    """30-batch soak for the seed-distance stream state (the repo's
+    long-stream discipline: every NEW maintained state gets one). The
+    feed deliberately INTRODUCES NEW VERTICES — the delta-overlay chain
+    growth class the dedup-stream soak caught — plus occasional deletes
+    (cold-guard path). Gates: bounded persistent blocks, flat per-batch
+    wall, exact final parity with a cold BFS."""
+    import time
+
+    from dynamicppr_spark.rddtrack import persistent_rdd_ids
+    from dynamicppr_spark.streaming.updates import (
+        UPDATE_SCHEMA,
+        SeedDistanceStreamState,
+        run_label_stream,
+    )
+
+    edges, n = fixtures.rmat_graph(n=60, m=240, seed=17)
+    rng = np.random.default_rng(23)
+    cur = {tuple(e) for e in np.unique(edges, axis=0)}
+    next_vid = n  # fresh vertex ids force graph-chain growth per batch
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    for b in range(30):
+        rows = []
+        for _ in range(3):
+            r = rng.random()
+            if r < 0.25:  # attach a brand-new vertex
+                s = int(rng.integers(0, n))
+                rows.append((b, "+", s, next_vid))
+                cur.add((s, next_vid))
+                next_vid += 1
+            elif r < 0.4 and cur:  # delete (cold-guard path)
+                s, d = list(cur)[int(rng.integers(0, len(cur)))]
+                rows.append((b, "-", int(s), int(d)))
+                cur.discard((s, d))
+            else:
+                s, d = int(rng.integers(0, n)), int(rng.integers(0, n))
+                if s != d and (s, d) not in cur:
+                    rows.append((b, "+", s, d))
+                    cur.add((s, d))
+        spark.createDataFrame(
+            rows, "batch_id bigint, op string, src bigint, dst bigint"
+        ).withColumn(
+            "ts", F.timestamp_seconds(F.lit(1_700_000_000 + b))
+        ).coalesce(1).write.mode("append").parquet(str(feed))
+
+    class Timed:
+        def __init__(self, inner):
+            self.inner, self.lat, self.blocks = inner, [], []
+
+        def apply(self, batch_df):
+            t0 = time.time()
+            self.inner.apply(batch_df)
+            self.lat.append(time.time() - t0)
+            ids = persistent_rdd_ids(spark.sparkContext)
+            self.blocks.append(len(ids) if ids is not None else 0)
+
+    g0 = make_graph(edges, n)
+    # vertex-adding batches grow the delta chain ~1 block/batch; the row
+    # trigger never fires for 3-row batches, so (like the dedup stream's
+    # pair graph) lower the CHAIN trigger — the soak then exercises folds
+    # and the across-fold read-after-free class, and blocks must plateau
+    g0.compact_max_chain_blocks = 8
+    st = Timed(SeedDistanceStreamState(g0, [0, 5]))
+    stream = spark.readStream.schema(UPDATE_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(feed))
+    q = run_label_stream(st, stream, query_name="soak_seed_dist")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert st.inner.batches_applied == 30
+
+    final = np.array(sorted(cur), dtype=np.int64)
+    want = oracle.seed_distances(final, next_vid, [0, 5])
+    assert _dist_map(st.inner.labels) == want
+
+    q4 = max(1, len(st.blocks) // 4)
+    assert max(st.blocks[-q4:]) <= max(st.blocks[:q4]) + 10, (
+        st.blocks[:q4], st.blocks[-8:]
+    )
+    med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+    assert med(st.lat[-q4:]) <= 3.0 * med(st.lat[:q4]) + 1.0, (
+        med(st.lat[:q4]), med(st.lat[-q4:])
+    )
+    st.inner.graph.release()
