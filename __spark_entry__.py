@@ -371,6 +371,20 @@ def _q_seed_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seed_distances(g, [0, 7], n_iter=6, until_stable=False)
 
 
+def _q_seed_distances_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted seed distances (Bellman-Ford with w = per-order
+    co-occurrence count as the edge cost) — the weighted flavor of K9 on
+    the same weighted graph weighted_pagerank uses. Fixed 6 rounds;
+    integer-valued double costs ⇒ exact cross-engine sums."""
+    from dynamicppr_spark.graph import LinkGraph
+    from dynamicppr_spark.operators.distances import seed_distances
+
+    g = LinkGraph(_weighted_cooccur_edges(spark, sf_dir), num_partitions=16)
+    return seed_distances(
+        g, [0, 7], n_iter=6, until_stable=False, weighted=True
+    )
+
+
 def _q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core peeling (operators/kcore.py::k_core) — the link-graph
     density filter. Fixed 6 synchronous peel rounds so the DuckDB oracle
@@ -400,12 +414,9 @@ def _q_lsh_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_dup_clusters(docs, num_hashes=8, bands=4, k=3, max_bucket=50)
 
 
-def _q_weighted_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over co-occurrence WEIGHTED edges (weight = number of
-    orders the pair co-occurs in) — fixed iterations, rounded ranking."""
-    from dynamicppr_spark.graph import LinkGraph
-    from dynamicppr_spark.operators.pagerank import pagerank
-
+def _weighted_cooccur_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both-ways co-occurrence edges with w = number of orders the pair
+    co-occurs in (shared by the weighted PageRank and distance queries)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
@@ -417,10 +428,18 @@ def _q_weighted_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count("*").alias("w"))
     )
-    edges = und.unionByName(
+    return und.unionByName(
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
     ).withColumn("w", F.col("w").cast("double"))
-    g = LinkGraph(edges, num_partitions=16)
+
+
+def _q_weighted_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over co-occurrence WEIGHTED edges (weight = number of
+    orders the pair co-occurs in) — fixed iterations, rounded ranking."""
+    from dynamicppr_spark.graph import LinkGraph
+    from dynamicppr_spark.operators.pagerank import pagerank
+
+    g = LinkGraph(_weighted_cooccur_edges(spark, sf_dir), num_partitions=16)
     return _ranked_top20(
         pagerank(g, tol=0.0, max_iter=PR_FIXED_ITERS)
         .select("vid", F.round("score", 6).alias("score"))
@@ -853,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "component_sizes": _q_component_sizes,
         "lpa_label_sizes": _q_lpa_sizes,
         "seed_distances": _q_seed_distances,
+        "seed_distances_weighted": _q_seed_distances_weighted,
         "k_core": _q_k_core,
         "doc_simhash": _q_simhash,
         # banded SimHash Hamming pairs (round-5): completes the dedup
@@ -1794,6 +1814,22 @@ GROUP BY label, pos""",
         "ppr_top20": _ppr_sql(PPR_FIXED_SWEEPS),
         "lpa_label_sizes": _lpa_sql(LPA_FIXED_ITERS),
         "seed_distances": _seed_dist_sql(_EDGES, [0, 7], 6),
+        "seed_distances_weighted": _seed_dist_sql(
+            """undw AS (
+  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM (
+    SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst,
+           l1.l_orderkey AS ok
+    FROM lineitem l1
+    JOIN lineitem l2
+      ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+  ) GROUP BY src, dst
+),
+e AS (SELECT src, dst, w FROM undw
+      UNION ALL SELECT dst AS src, src AS dst, w FROM undw)""",
+            [0, 7],
+            6,
+            weighted=True,
+        ),
         "k_core": _k_core_sql(_EDGES, 60, 6),
         "component_sizes": _cc_sql(),
         "doc_simhash": _simhash_sql(),

@@ -38,11 +38,19 @@ def seed_distances(
     until_stable: bool = True,
     ckpt_dir: str | None = None,
     init_dists: DataFrame | None = None,
+    weighted: bool = False,
 ) -> DataFrame:
     """(vid: bigint, dist: bigint) for every vertex REACHABLE from the
     seed set within ``n_iter`` hops (unreachable vertices are absent —
     the overwhelming majority on a sparse web graph, so the result table
     is frontier-sized, not V-sized).
+
+    ``weighted=True`` relaxes with the graph's NON-NEGATIVE edge weight
+    ``w`` instead of hop count (synchronous Bellman-Ford; rounds needed
+    = the longest shortest path's EDGE count, which ``until_stable``
+    handles) and emits ``dist`` as double. Value parity across engines
+    still holds exactly: each round's dist is a min over identical
+    (prev + w) doubles — no accumulation-order dependence anywhere.
 
     ``until_stable=True`` (default) stops as soon as a round relaxes
     nothing; ``until_stable=False`` runs exactly ``n_iter`` rounds — the
@@ -55,10 +63,14 @@ def seed_distances(
     seeds = sorted({int(s) for s in seeds})
     if not seeds:
         raise ValueError("seed_distances needs a non-empty seed set")
+    if weighted and not graph.weighted:
+        raise ValueError("weighted=True needs a weighted graph (w column)")
     p = graph.num_partitions
-    edges = graph.edges.select("src", "dst").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    step_cost = F.col("w") if weighted else F.lit(1)
+    dist_t = "double" if weighted else "bigint"
+    edges = graph.edges.select(
+        "src", "dst", *(["w"] if weighted else [])
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     edges.count()  # pre-materialize: checkpoint rotation must not capture it
 
     seed_col = F.col("vid").isin(seeds)
@@ -71,7 +83,7 @@ def seed_distances(
             "vid",
             F.when(seed_col, F.lit(0))
             .otherwise(F.coalesce("d0", F.lit(_INF)))
-            .cast("bigint")
+            .cast(dist_t)
             .alias("dist"),
         )
         # re-push every known-finite row once: new/updated edges may hang
@@ -84,7 +96,7 @@ def seed_distances(
             "vid",
             F.when(seed_col, F.lit(0))
             .otherwise(F.lit(_INF))
-            .cast("bigint")
+            .cast(dist_t)
             .alias("dist"),
             seed_col.cast("double").alias("delta"),
         )
@@ -96,7 +108,7 @@ def seed_distances(
             .select("vid", "dist")
             .join(edges, F.col("vid") == edges.src)
             .groupBy("dst")
-            .agg((F.min("dist") + 1).alias("cand"))
+            .agg(F.min(F.col("dist") + step_cost).alias("cand"))
         )
         return (
             state.select("vid", F.col("dist").alias("old"))
@@ -166,17 +178,24 @@ def seed_distances_incremental(
 
 
 def seed_distances_sql(
-    edges_cte: str, seeds: Iterable[int], n_iter: int
+    edges_cte: str,
+    seeds: Iterable[int],
+    n_iter: int,
+    weighted: bool = False,
 ) -> str:
     """DuckDB oracle form: ``n_iter`` unrolled union-min relaxations over
-    an edge CTE exposing (src, dst) — after round i every vertex at true
-    distance <= i carries its final value, exactly like the engine's
-    fixed-iteration run (frontier pruning changes the plan, not the
-    algebra)."""
+    an edge CTE exposing (src, dst[, w]) — after round i every vertex at
+    true distance <= i (hops) carries its final value, exactly like the
+    engine's fixed-iteration run (frontier pruning changes the plan, not
+    the algebra). ``weighted=True`` relaxes with ``e.w`` and emits
+    DOUBLE dist, mirroring the engine's weighted mode."""
     seed_rows = ", ".join(f"({s})" for s in sorted({int(s) for s in seeds}))
+    cost = "e.w" if weighted else "1"
+    out_t = "DOUBLE" if weighted else "BIGINT"
     ctes = [
         edges_cte,
-        f"d0 AS (SELECT vid, 0 AS dist FROM (VALUES {seed_rows}) s(vid))",
+        f"d0 AS (SELECT vid, CAST(0 AS {out_t}) AS dist"
+        f" FROM (VALUES {seed_rows}) s(vid))",
     ]
     for i in range(1, n_iter + 1):
         ctes.append(
@@ -184,7 +203,7 @@ def seed_distances_sql(
   SELECT vid, min(dist) AS dist FROM (
     SELECT vid, dist FROM d{i - 1}
     UNION ALL
-    SELECT e.dst AS vid, d.dist + 1 AS dist
+    SELECT e.dst AS vid, d.dist + {cost} AS dist
     FROM d{i - 1} d JOIN e ON d.vid = e.src
   ) GROUP BY vid)"""
         )
@@ -192,5 +211,5 @@ def seed_distances_sql(
         "WITH "
         + ",\n".join(ctes)
         + f"\nSELECT CAST(vid AS BIGINT) AS vid,"
-        f" CAST(dist AS BIGINT) AS dist FROM d{n_iter}"
+        f" CAST(dist AS {out_t}) AS dist FROM d{n_iter}"
     )

@@ -199,3 +199,21 @@ def k_core(edges: np.ndarray, n: int, k: int) -> dict[int, int]:
         if not doomed:
             return {v: len(nbrs[v] & alive) for v in alive}
         alive -= doomed
+
+
+def weighted_seed_distances(
+    edges_w: np.ndarray, n: int, seeds
+) -> dict[int, float]:
+    """Directed multi-source Bellman-Ford over (src, dst, w >= 0) rows:
+    {vid: min path cost from any seed} for reachable vertices."""
+    rows = [(int(a), int(b), float(w)) for a, b, w in edges_w]
+    dist = {int(s): 0.0 for s in seeds if 0 <= int(s) < n}
+    for _ in range(n):
+        changed = False
+        for a, b, w in rows:
+            if a in dist and dist[a] + w < dist.get(b, float("inf")):
+                dist[b] = dist[a] + w
+                changed = True
+        if not changed:
+            break
+    return dist
