@@ -191,3 +191,18 @@ def test_collapse_repeated_lines_exact(spark):
     )
     assert "Exchange" not in plan and "Generate" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------- driver contract
+def test_driver_registry_alignment():
+    """Every queries() entry has an oracle_sql() entry (events_sketch is
+    the one documented rows-only exception), no orphan oracles exist, and
+    both registries only contain callables / non-empty SQL strings — the
+    drift guard for the driver correctness contract."""
+    import __spark_entry__ as E
+
+    q, o = E.queries(), E.oracle_sql()
+    assert set(q) - set(o) == {"events_sketch"}
+    assert set(o) <= set(q)
+    assert all(callable(f) for f in q.values())
+    assert all(isinstance(s, str) and s.strip() for s in o.values())
