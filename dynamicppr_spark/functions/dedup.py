@@ -127,31 +127,33 @@ def minhash_signatures(
     hash_i(shingle) = md5(i || ':' || shingle); signature element i is the
     lexicographic min over the doc's shingles — a valid min-wise hash
     family and bit-identical in DuckDB (md5 + min + group by).
-    """
-    sh = shingle_table(docs, col=col, k=k)
-    salted = sh.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("i"),
-                        F.md5(
-                            F.concat(F.lit(f"{i}:"), F.col("shingle"))
-                        ).alias("h"),
-                    )
-                    for i in range(num_hashes)
-                ]
-            )
-        ).alias("sh"),
-    ).select("doc_id", F.col("sh.i").alias("i"), F.col("sh.h").alias("h"))
-    return (
-        salted.groupBy("doc_id", "i")
-        .agg(F.min("h").alias("mh"))
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "mh"))).alias("s"))
-        .select("doc_id", F.col("s.mh").alias("sig"))
+
+    Round-6: computed NARROWLY per document — ``array_min`` over an
+    in-row ``transform`` per hash, on the per-doc distinct shingle array
+    (text.py::_shingled). The old form exploded |docs x shingles x
+    num_hashes| rows through TWO groupBy shuffles; the min over a doc's
+    shingles needs no shuffle at all (guide §2.3/§2.4 — aggregate before
+    you shuffle, remove shuffles outright). Values are identical: the
+    same md5 set, the same per-(doc, i) minimum. The `_sh` array is bound
+    as its own projection so the shingle transform is evaluated once per
+    row, not once per hash (CollapseProject keeps non-cheap expressions
+    single-use)."""
+    from dynamicppr_spark.functions.text import _shingled
+
+    shingled = _shingled(docs, col=col, k=k)
+
+    def _salted(prefix):
+        # one-arg closure: a two-arg lambda would make pyspark bind the
+        # ARRAY INDEX to the second parameter
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("_sh"), _salted(f"{i}:")))
+            for i in range(num_hashes)
+        ]
     )
+    return shingled.select("doc_id", sig.alias("sig"))
 
 
 def banded_signatures(

@@ -31,57 +31,75 @@ def repetition_stats(docs: DataFrame, col: str = "text") -> DataFrame:
                                 n_tokens-1 bigrams (0.0 for 1-token docs)
 
     Null-text docs are absent; a whitespace-only doc is one empty token.
-    """
-    toks = docs.filter(F.col(col).isNotNull()).select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        _tokens(col).alias("_t"),
-    )
-    unigram = (
-        toks.select("doc_id", F.explode("_t").alias("g"))
-        .groupBy("doc_id", "g")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").cast("bigint").alias("n_tokens"),
-            F.count("*").cast("bigint").alias("distinct_tokens"),
-            F.max("c").alias("top_c"),
-        )
-    )
-    bigram = (
-        toks.filter(F.size("_t") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("_t") - F.lit(2)),
-                    lambda i: F.concat_ws(
-                        " ", F.col("_t")[i], F.col("_t")[i + F.lit(1)]
+
+    Round-6: computed NARROWLY per document — every signal is a function
+    of the doc's own token array, so the old two exploded hash-aggs (four
+    shuffles + a join over |docs x tokens| rows) are replaced by in-row
+    array ops: n_tokens = size, distinct_tokens = size(array_distinct),
+    and each top count = the longest run of equal elements in the SORTED
+    token/bigram array (exactly the max group count — integers, so
+    bit-identical to the exploded form; guide §2.4 "remove shuffles
+    outright"). Input is spread across cores first (the per-doc sort is
+    the CPU cost and the one-row-group source scans as one task)."""
+    from dynamicppr_spark.plans.partitioning import spread_for_compute
+
+    toks = spread_for_compute(
+        docs.filter(F.col(col).isNotNull()).select(
+            F.col("doc_id").cast("bigint").alias("doc_id"), F.col(col)
+        ),
+        "doc_id",
+    ).select("doc_id", _tokens(col).alias("_t"))
+
+    def _top_count(arr):
+        """Longest run of equal elements in sorted ``arr`` == the max
+        multiplicity (0 for an empty array)."""
+        return F.aggregate(
+            F.array_sort(arr),
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).cast("bigint").alias("run"),
+                F.lit(0).cast("bigint").alias("best"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(acc["prev"] == x, acc["run"] + F.lit(1))
+                .otherwise(F.lit(1).cast("bigint"))
+                .alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(acc["prev"] == x, acc["run"] + F.lit(1)).otherwise(
+                        F.lit(1).cast("bigint")
                     ),
-                )
-            ).alias("g"),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
         )
-        .groupBy("doc_id", "g")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_bc"))
+
+    bigrams = F.when(
+        F.size("_t") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_t") - F.lit(2)),
+            lambda i: F.concat_ws(" ", F.col("_t")[i], F.col("_t")[i + F.lit(1)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    stats = toks.select(
+        "doc_id",
+        F.size("_t").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("_t")).cast("bigint").alias("distinct_tokens"),
+        _top_count(F.col("_t")).alias("top_c"),
+        _top_count(bigrams).alias("top_bc"),
     )
-    return (
-        unigram.join(bigram, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            "distinct_tokens",
-            F.round(F.col("distinct_tokens") / F.col("n_tokens"), 6).alias(
-                "distinct_ratio"
-            ),
-            F.round(F.col("top_c") / F.col("n_tokens"), 6).alias(
-                "top_token_frac"
-            ),
-            F.when(F.col("n_tokens") >= 2, F.round(
-                F.coalesce(F.col("top_bc"), F.lit(0))
-                / (F.col("n_tokens") - 1), 6,
-            )).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
-        )
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        "distinct_tokens",
+        F.round(F.col("distinct_tokens") / F.col("n_tokens"), 6).alias(
+            "distinct_ratio"
+        ),
+        F.round(F.col("top_c") / F.col("n_tokens"), 6).alias("top_token_frac"),
+        F.when(F.col("n_tokens") >= 2, F.round(
+            F.col("top_bc") / (F.col("n_tokens") - 1), 6,
+        )).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
     )
 
 

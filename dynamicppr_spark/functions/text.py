@@ -259,22 +259,38 @@ def shingle_table(docs: DataFrame, col: str = "text", k: int = 3) -> DataFrame:
     guard. The when() also keeps Spark 4 ANSI mode from throwing on the
     out-of-bounds tok[i+j] lookups that an unguarded sequence would hit.
     """
+    return _shingled(docs, col=col, k=k).select(
+        "doc_id", F.explode("_sh").alias("shingle")
+    )
+
+
+def _shingled(docs: DataFrame, col: str = "text", k: int = 3) -> DataFrame:
+    """(doc_id, _sh array<string>) — each doc's DISTINCT md5 k-shingles as
+    one array, computed NARROWLY (per-doc ``array_distinct`` instead of
+    the old explode + global ``.distinct()`` shuffle of |docs x shingles|
+    rows — guide §2.4 "remove shuffles outright"; set semantics per doc
+    are identical). The input is spread across cores first: the md5
+    transform is the expensive part and the single-row-group source would
+    otherwise compute it in one scan task (see spread_for_compute).
+    Docs with no shingles (fewer than k tokens) are absent."""
+    from dynamicppr_spark.plans.partitioning import spread_for_compute
+
     norm = F.trim(F.lower(F.col(col)))
     toks = F.split(norm, r"\s+")
     n = F.size(toks)
     sh = F.when(
         n >= k,
-        F.transform(
-            F.sequence(F.lit(0), n - F.lit(k)),
-            lambda i: F.md5(
-                F.concat_ws(" ", *[toks[i + F.lit(j)] for j in range(k)])
-            ),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n - F.lit(k)),
+                lambda i: F.md5(
+                    F.concat_ws(" ", *[toks[i + F.lit(j)] for j in range(k)])
+                ),
+            )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        docs.select("doc_id", F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    base = spread_for_compute(docs.select("doc_id", F.col(col)), "doc_id")
+    return base.select("doc_id", sh.alias("_sh")).filter(F.size("_sh") > 0)
 
 
 def with_code_stats(docs: DataFrame, col: str = "text") -> DataFrame:

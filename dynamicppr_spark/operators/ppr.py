@@ -294,6 +294,194 @@ class PPREngine:
             frozen.select("source", "vid", "residual", "reserve")
         )
 
+    # ------------------------------------------------- dense multi-source
+    # Round-6 (guide §2.3 "shuffle fewer bytes" / §2.4): with S maintained
+    # sources the row state keys on (source, vid), so every superstep's
+    # scatter join emits |frontier-edges| x S rows (76M at bench scale)
+    # and the merge hash-aggregates S x |touched| keys. The DENSE form
+    # keys on vid alone with length-S residual/reserve arrays: the join
+    # emits |frontier-edges| rows, the aggregate runs S elementwise sums
+    # over |touched| keys, and the broadcast frontier carries one row per
+    # vid. Same push algebra per (source, vid) — only summation grouping
+    # changes (float reassociation at the ulp level; all PPR gates are
+    # 1e-6 and oracle scores round to 6 dp). Used for S > 1 df pushes;
+    # S == 1 and csr mode keep the row path bit-for-bit.
+    def _use_dense(self) -> bool:
+        return self.mode != "csr" and len(self.sources) > 1
+
+    def _dense_row_bytes(self) -> int:
+        return 32 + 16 * len(self.sources)
+
+    def _to_dense(self, state: DataFrame) -> DataFrame:
+        S = len(self.sources)
+        aggs = []
+        for i, s in enumerate(self.sources):
+            aggs.append(
+                F.sum(
+                    F.when(F.col("source") == s, F.col("residual")).otherwise(0.0)
+                ).alias(f"_r{i}")
+            )
+            aggs.append(
+                F.sum(
+                    F.when(F.col("source") == s, F.col("reserve")).otherwise(0.0)
+                ).alias(f"_v{i}")
+            )
+        return (
+            state.groupBy("vid")
+            .agg(*aggs)
+            .select(
+                "vid",
+                F.array(*[F.col(f"_r{i}") for i in range(S)]).alias("res"),
+                F.array(*[F.col(f"_v{i}") for i in range(S)]).alias("resv"),
+            )
+        )
+
+    def _from_dense(self, dstate: DataFrame) -> DataFrame:
+        return (
+            dstate.select(
+                "vid",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(s).cast("bigint").alias("source"),
+                                F.col("res")[i].alias("residual"),
+                                F.col("resv")[i].alias("reserve"),
+                            )
+                            for i, s in enumerate(self.sources)
+                        ]
+                    )
+                ).alias("x"),
+            )
+            .select(
+                F.col("x.source").alias("source"),
+                "vid",
+                F.col("x.residual").alias("residual"),
+                F.col("x.reserve").alias("reserve"),
+            )
+            .filter((F.col("residual") != 0.0) | (F.col("reserve") != 0.0))
+        )
+
+    def _push_superstep_dense(
+        self,
+        state: DataFrame,
+        live_mask: list[bool],
+        broadcast_frontier: bool,
+    ) -> DataFrame:
+        """One synchronous superstep over the dense (vid, res[], resv[])
+        state; frozen sources (live_mask[i] False) carry their residual
+        untouched, exactly like the row path's frozen branch."""
+        import functools
+        import operator
+
+        alpha = self.alpha
+        S = len(self.sources)
+        zeros = F.array(*[F.lit(0.0) for _ in range(S)])
+        r = lambda i: F.col("res")[i]  # noqa: E731
+        v = lambda i: F.col("resv")[i]  # noqa: E731
+        absorbed = state.select(
+            "vid",
+            F.array(
+                *[F.lit(0.0) if live_mask[i] else r(i) for i in range(S)]
+            ).alias("res"),
+            F.array(
+                *[
+                    (v(i) + F.lit(alpha) * r(i)) if live_mask[i] else v(i)
+                    for i in range(S)
+                ]
+            ).alias("resv"),
+        )
+        live_idx = [i for i in range(S) if live_mask[i]]
+        active_pred = functools.reduce(
+            operator.or_, [r(i) != 0.0 for i in live_idx]
+        )
+        active = state.filter(active_pred).select("vid", "res")
+        scatter = self.graph.scatter_edges
+        probe = F.broadcast(active) if broadcast_frontier else active
+        push_res = F.array(
+            *[
+                (F.lit(1.0 - alpha) * F.col("res")[i] * F.col("inv_outdeg"))
+                if live_mask[i]
+                else F.lit(0.0)
+                for i in range(S)
+            ]
+        )
+        pushed = probe.join(scatter, probe.vid == scatter.src).select(
+            F.col("dst").alias("vid"),
+            push_res.alias("res"),
+            zeros.alias("resv"),
+        )
+        if self._dangling_possible:
+            dangling = active.join(
+                self.graph.out_degrees.select(F.col("src").alias("vid")),
+                "vid",
+                "left_anti",
+            ).select(
+                "vid",
+                F.array(
+                    *[
+                        (F.lit(1.0 - alpha) * F.col("res")[i])
+                        if live_mask[i]
+                        else F.lit(0.0)
+                        for i in range(S)
+                    ]
+                ).alias("res"),
+                zeros.alias("resv"),
+            )
+            pushed = pushed.unionByName(dangling)
+        merged = (
+            absorbed.unionByName(pushed)
+            .groupBy("vid")
+            .agg(
+                *[F.sum(F.col("res")[i]).alias(f"_r{i}") for i in range(S)],
+                *[F.sum(F.col("resv")[i]).alias(f"_v{i}") for i in range(S)],
+            )
+            .select(
+                "vid",
+                F.array(*[F.col(f"_r{i}") for i in range(S)]).alias("res"),
+                F.array(*[F.col(f"_v{i}") for i in range(S)]).alias("resv"),
+            )
+        )
+        nonzero = F.exists("res", lambda x: x != 0.0) | F.exists(
+            "resv", lambda x: x != 0.0
+        )
+        return merged.filter(nonzero)
+
+    def _l1_observation_dense(self):
+        if self._per_source_freeze:
+            return {
+                f"l1_{s}": F.sum(F.abs(F.col("res")[i]))
+                for i, s in enumerate(self.sources)
+            }
+        return {
+            "l1_all": F.sum(
+                F.aggregate(
+                    "res", F.lit(0.0), lambda a, x: a + F.abs(x)
+                )
+            )
+        }
+
+    def _ckpt_dense_with_l1(self, df: DataFrame, rotator):
+        """Dense-state twin of ``_ckpt_with_l1`` (same fused
+        checkpoint+observe job, array-element L1 aggregates)."""
+        obs_exprs = self._l1_observation_dense()
+        obs_exprs["state_rows"] = F.count(F.lit(1))
+        obs = Observation()
+        leaf = rotator.checkpoint(
+            df.observe(obs, *[c.alias(k) for k, c in obs_exprs.items()])
+        )
+        got = obs.get
+        rows = int(got.get("state_rows") or 0)
+        # conservative (source, vid)-row upper bound for the width
+        # heuristics that read _state_rows after a dense loop
+        self._state_rows = rows * max(1, len(self.sources))
+        if self._per_source_freeze:
+            l1 = {s: float(got[f"l1_{s}"] or 0.0) for s in self.sources}
+        else:
+            g_l1 = float(got["l1_all"] or 0.0)
+            l1 = {s: g_l1 for s in self.sources}
+        return leaf, l1, rows
+
     def _per_source_l1(self, state: DataFrame) -> dict[int, float]:
         rows = (
             state.groupBy("source")
@@ -431,11 +619,24 @@ class PPREngine:
         live = [s for s in self.sources if l1[s] > self.eps]
         steps = 0
         self._last_durable = 0
+        dense = self._use_dense()
+        pivoted = bool(dense and live)
+        if pivoted:
+            # pivot (source, vid) rows -> one (vid, res[], resv[]) row;
+            # one fused pivot+checkpoint job, L1 re-observed (identical
+            # values — the pivot only regroups existing entries)
+            state, l1, state_rows = self._ckpt_dense_with_l1(
+                self._to_dense(state), rotator
+            )
         # derive the broadcast-frontier decision from THIS loop's entry
         # state size — the flag's terminal value from a previous loop is
         # stale (a K2 delta re-push always exits with tiny state/True,
-        # which would broadcast-hint a later full-size state's first step)
-        self._broadcast_frontier = state_rows <= self.broadcast_max_rows
+        # which would broadcast-hint a later full-size state's first step).
+        # Thresholds are byte-derived: dense rows are ~16*S+32 B wide.
+        bc_rows = self.broadcast_max_bytes // (
+            self._dense_row_bytes() if dense else 40
+        )
+        self._broadcast_frontier = state_rows <= bc_rows
         while live and steps < self.max_supersteps:
             # compose k supersteps into ONE job while the state is small —
             # the per-job serial floor (Catalyst+py4j+scheduling+barrier),
@@ -448,12 +649,17 @@ class PPREngine:
             k = max(1, min(k, self.max_supersteps - steps))
             new_state = state
             inter_ids: set[int] = set()
+            mask = [l1[s] > self.eps for s in self.sources]
             for j in range(k):
-                new_state = self._push_superstep(
-                    new_state,
-                    live,
-                    broadcast_frontier=self._broadcast_frontier if k == 1 else False,
-                )
+                bf = self._broadcast_frontier if k == 1 else False
+                if dense:
+                    new_state = self._push_superstep_dense(
+                        new_state, mask, broadcast_frontier=bf
+                    )
+                else:
+                    new_state = self._push_superstep(
+                        new_state, live, broadcast_frontier=bf
+                    )
                 if j < k - 1:
                     # LAZY localCheckpoint: plan cut to a leaf per sub-step,
                     # RDD DAG computes each intermediate once inside the
@@ -464,20 +670,21 @@ class PPREngine:
             steps += k
             import os as _os
 
+            ckpt_fn = self._ckpt_dense_with_l1 if dense else self._ckpt_with_l1
             if _os.environ.get("DYNPPR_PROFILE") == "1":
                 _t0 = time.time()
                 _n = new_state.count()
                 _t1 = time.time()
-                state, l1, state_rows = self._ckpt_with_l1(new_state, rotator)
+                state, l1, state_rows = ckpt_fn(new_state, rotator)
                 print(
                     f"[loop-prof] step {steps}: count={_t1 - _t0:.2f}s "
                     f"ckpt={time.time() - _t1:.2f}s rows={state_rows}",
                     flush=True,
                 )
             else:
-                state, l1, state_rows = self._ckpt_with_l1(new_state, rotator)
+                state, l1, state_rows = ckpt_fn(new_state, rotator)
             unpersist_rdd_ids(self.spark.sparkContext, inter_ids)
-            self._broadcast_frontier = state_rows <= self.broadcast_max_rows
+            self._broadcast_frontier = state_rows <= bc_rows
             live = [s for s in self.sources if l1[s] > self.eps]
             self.metrics.history.append(
                 {"superstep": base + steps, "max_l1": max(l1.values())}
@@ -487,8 +694,20 @@ class PPREngine:
                 and self.ckpt_dir is not None
                 and steps - self._last_durable >= self.ckpt_every
             ):
-                state = self._checkpoint(state, base + steps, l1)
+                if dense:
+                    reread = self._checkpoint(
+                        self._from_dense(state), base + steps, l1
+                    )
+                    state, l1, state_rows = self._ckpt_dense_with_l1(
+                        self._to_dense(reread), rotator
+                    )
+                else:
+                    state = self._checkpoint(state, base + steps, l1)
                 self._last_durable = steps
+        if pivoted:
+            # back to the engine's (source, vid) row schema — a narrow
+            # explode over the dense leaf (consumers re-checkpoint)
+            state = self._from_dense(state)
         return state, steps, l1
 
     def push_to_convergence(self) -> PPRMetrics:

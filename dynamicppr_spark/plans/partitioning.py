@@ -32,6 +32,27 @@ def choose_num_partitions(
     return max(cores, min(20000, (est_rows + rows_per_partition - 1) // rows_per_partition))
 
 
+def spread_for_compute(df: DataFrame, key: str, n: int | None = None) -> DataFrame:
+    """Hash-repartition ``df`` on high-cardinality ``key`` across the
+    cluster's cores BEFORE CPU-heavy narrow compute (guide §2.3 "project
+    before the exchange" + §6 input splits): a single-file / one-row-group
+    parquet source scans as ONE task, so an expression-heavy projection
+    (md5 shingle transforms, per-doc token sorts, pair expansion) placed
+    before the first exchange runs single-threaded no matter how many
+    cores exist. The exchange here moves the RAW, pre-expansion bytes —
+    the cheap side of the expansion — and the explicit partition count
+    (defaultParallelism: local cores locally, total executor cores on a
+    cluster) keeps AQE's coalescing from folding the small-byte exchange
+    back into one partition. On a many-split 100 TB input the exchange
+    costs one pass of the projected columns, still dwarfed by the
+    downstream expansion it parallelizes; width scales with the cluster,
+    not a local constant."""
+    spark = df.sparkSession
+    if n is None:
+        n = spark.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(key))
+
+
 def hub_vertices(out_degrees: DataFrame, threshold: int | None = None) -> DataFrame:
     """(src, outdeg) rows whose degree marks them as skew hubs.
 

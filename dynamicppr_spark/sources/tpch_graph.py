@@ -32,7 +32,18 @@ def part_cooccurrence_edges(
     l_partkey inequality. ``directed_both_ways`` materializes the
     undirected pair in both directions for the directed kernels.
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    from dynamicppr_spark.plans.partitioning import spread_for_compute
+
+    # the driver's tables are single-row-group parquet files => the scan
+    # is ONE task, and the self-join's probe + partial-distinct would run
+    # single-threaded. One tiny exchange of the projected 2-column input
+    # spreads the O(sum deg^2) pair expansion across the cores; both join
+    # sides derive from the same repartitioned frame, so the exchange is
+    # planned once (reused) and the ok-keyed join needs no further shuffle.
+    li = spread_for_compute(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+        "l_orderkey",
+    )
     a = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
     )
