@@ -68,10 +68,18 @@ def seed_distances(
     p = graph.num_partitions
     step_cost = F.col("w") if weighted else F.lit(1)
     dist_t = "double" if weighted else "bigint"
-    edges = graph.edges.select(
-        "src", "dst", *(["w"] if weighted else [])
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    edges.count()  # pre-materialize: checkpoint rotation must not capture it
+    edges = graph.edges.select("src", "dst", *(["w"] if weighted else []))
+    if graph._persist:
+        # ride the graph's persisted base (+ tiny overlay probes per
+        # scan) instead of writing a second full edge cache per call;
+        # count() materializes the base BEFORE the loop so checkpoint
+        # rotation never captures it
+        edges.count()
+        owned = None
+    else:
+        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+        edges.count()
+        owned = edges
 
     seed_col = F.col("vid").isin(seeds)
     if init_dists is not None:
@@ -138,7 +146,8 @@ def seed_distances(
             "num_partitions": p,
         },
     )
-    edges.unpersist()
+    if owned is not None:
+        owned.unpersist()
     out = result.state.filter(F.col("dist") < _INF).select("vid", "dist")
     # ownership handle for maintained-stream callers (see components.py)
     out._dynppr_ckpt_ids = set(result.ckpt_ids)

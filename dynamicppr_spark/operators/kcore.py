@@ -20,7 +20,6 @@ convergence observed inside the checkpoint job, O(1)-row driver traffic.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.storagelevel import StorageLevel
 
 from dynamicppr_spark.graph import LinkGraph
 from dynamicppr_spark.operators.superstep import run_superstep_loop
@@ -50,23 +49,21 @@ def k_core(
     # degree semantics need the SIMPLE undirected graph: canonicalize to
     # distinct (min, max) pairs, then emit both directions (symmetrized()
     # keeps parallel duplicates, which is fine for min/mode kernels but
-    # would double-count degrees here)
-    und = (
-        graph.edges.select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
+    # would double-count degrees here). Round-6: the canonical set is the
+    # PER-GRAPH cache shared with the triangle kernels (_canon_cached) —
+    # repeated peels on the same graph skip the O(E) distinct, and the
+    # both-directions view is a narrow union over the cache instead of a
+    # second 2x-sized persisted table. LinkGraph guarantees src != dst,
+    # so the canon set needs no self-loop filter.
+    from dynamicppr_spark.operators.triangles import _canon_cached
+
+    und = _canon_cached(graph)
+    und.count()  # pre-materialize: checkpoint rotation must not capture it
+    edges = und.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
-    edges = (
-        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionByName(
-            und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    edges.count()  # pre-materialize: checkpoint rotation must not capture it
 
     # init: undirected degree (vertices with no edges have no k>=1 core
     # membership and are absent by construction, matching the oracle)
@@ -114,7 +111,8 @@ def k_core(
             "num_partitions": p,
         },
     )
-    edges.unpersist()
+    # the canonical set stays cached on the graph (shared with the
+    # triangle kernels; graph.release() frees it)
     out = result.state.select("vid", "deg")
     # ownership handle for maintained-stream callers (see components.py)
     out._dynppr_ckpt_ids = set(result.ckpt_ids)

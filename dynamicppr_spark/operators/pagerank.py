@@ -151,14 +151,27 @@ def pagerank(
         )
     }
 
+    # broadcast the (small) rank side into the persisted, src-partitioned
+    # scatter table: kills the per-iteration rank-side exchange, leaving
+    # the groupBy(vid) reduction as the iteration's ONLY shuffle (guide
+    # §2.4/§3.1). Byte-gated like PPR's frontier broadcast (~16 B/row);
+    # beyond the gate the shuffled join below remains correct. Composed
+    # blocks tolerate the broadcast: with AQE each lazily-checkpointed
+    # sub-step executes its stages at definition anyway, so the broadcast
+    # no longer "serializes" anything that was parallel.
+    broadcast_ranks = n * 16 <= (128 << 20)
+
     def step(ranks: DataFrame, _i: int) -> DataFrame:
         # single-shuffle iteration: raw contributions and the carrier row
         # (old score + dang flag) union into ONE groupBy(vid) reduction —
         # no separate aggregate + merge-join stages (stage barriers are
         # serial driver time that caps scaling efficiency)
+        probe = ranks.select("vid", "score")
+        if broadcast_ranks:
+            probe = F.broadcast(probe)
         contribs = (
-            ranks.select("vid", "score")
-            .join(scatter, ranks.vid == scatter.src)
+            probe
+            .join(scatter, probe.vid == scatter.src)
             .select(
                 F.col("dst").alias("vid"),
                 (F.col("score") * F.col("inv_outdeg")).alias("c"),

@@ -621,12 +621,14 @@ class PPREngine:
         dense = self._use_dense()
         pivoted = bool(dense and live)
         if pivoted:
-            # pivot (source, vid) rows -> one (vid, res[], resv[]) row;
-            # one fused pivot+checkpoint job, L1 re-observed (identical
-            # values — the pivot only regroups existing entries)
-            state, l1, state_rows = self._ckpt_dense_with_l1(
-                self._to_dense(state), rotator
-            )
+            # pivot (source, vid) rows -> one (vid, res[], resv[]) row,
+            # LAZILY — no dedicated pivot job: the first superstep
+            # materializes it (its two scans of the state share the
+            # pivot's exchange), and l1/state_rows are already known from
+            # the row-form checkpoint (state_rows, a row count, can only
+            # overestimate the dense vid count — conservative for the
+            # broadcast/compose thresholds below)
+            state = self._to_dense(state)
         # derive the broadcast-frontier decision from THIS loop's entry
         # state size — the flag's terminal value from a previous loop is
         # stale (a K2 delta re-push always exits with tiny state/True,

@@ -95,6 +95,46 @@ def _canon_cached(graph: LinkGraph) -> DataFrame:
     return c
 
 
+def _canon_incremental(
+    old_graph: LinkGraph, new_graph: LinkGraph, bp: DataFrame
+) -> DataFrame:
+    """Canonical edge set of ``new_graph``, patched from the old graph's
+    cached canon instead of a fresh O(E) ``distinct`` SHUFFLE per batch
+    (guide §2.4): canon(new) = (canon(old) \\ bp) ∪ present_new(bp), where
+    ``bp`` is the batch's canonical pair set and ``present_new`` probes
+    the new edge set for both orientations of the touched pairs — one
+    shuffle-free O(E) scan. Eagerly localCheckpointed (origin-detached,
+    tracked on the new graph) so the result is self-contained: the old
+    graph — and its canon cache — can be released afterwards without
+    leaving this table a dangling lineage over freed blocks."""
+    c = getattr(new_graph, "_canon_edges", None)
+    if c is not None:
+        return c
+    old_c = getattr(old_graph, "_canon_edges", None)
+    if old_c is None or not new_graph._persist:
+        return _canon_cached(new_graph)
+    dirp = bp.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(
+        bp.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).distinct()
+    present = (
+        new_graph.edges.join(F.broadcast(dirp), ["src", "dst"], "left_semi")
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    patched = (
+        old_c.join(F.broadcast(bp), ["a", "b"], "left_anti")
+        .unionByName(present)
+        .coalesce(new_graph.num_partitions)
+    )
+    c = new_graph._ckpt(patched)
+    new_graph._canon_edges = c
+    return c
+
+
 def _triangles_touching(
     delta: DataFrame,
     edges: DataFrame,
@@ -189,7 +229,7 @@ def triangle_delta(
         .distinct()
     )
     e_old = _canon_cached(old_graph)
-    e_new = _canon_cached(new_graph)
+    e_new = _canon_incremental(old_graph, new_graph, bp)
     old_hit = e_old.join(F.broadcast(bp), ["a", "b"], "left_semi")
     new_hit = e_new.join(F.broadcast(bp), ["a", "b"], "left_semi")
     added = new_hit.join(old_hit, ["a", "b"], "left_anti")
