@@ -196,6 +196,12 @@ class LinkGraph:
                 *cols,
                 *([F.col("w").cast("double").alias("w")] if self.weighted else []),
             ).filter(F.col("src") != F.col("dst"))
+            # ONE exchange for dedup + layout (guide §2.4 "two operations
+            # keyed the same way share one exchange"): hash-partitioning
+            # on src co-locates every (src, dst) pair, so the duplicate
+            # aggregation after it needs no second (src, dst) exchange
+            # and its output keeps the src partitioning the kernels need.
+            e = e.repartition(self.num_partitions, "src")
             if self.weighted:
                 e = (
                     e.groupBy("src", "dst")
@@ -204,7 +210,7 @@ class LinkGraph:
                 )
             else:
                 e = e.dropDuplicates(["src", "dst"])
-            base = e.repartition(self.num_partitions, "src")
+            base = e
         if persist:
             base = base.persist(StorageLevel.MEMORY_AND_DISK)
             self._owned_caches.append(base)
@@ -344,6 +350,16 @@ class LinkGraph:
         only a broadcast-hash probe per scan (no copy, no shuffle).
         """
         if self._scat is None:
+            # no explicit repartition: the base is already persisted
+            # hash-partitioned on src (__init__ folds dedup+layout into
+            # one exchange) and the degree side is a broadcast-sized
+            # probe, so the join preserves the src layout — an explicit
+            # repartition here re-shuffled the full edge mass a second
+            # time per graph build for nothing. (If a planner ever picks
+            # a shuffled join instead, its output is still hash(src,
+            # shuffle.partitions) — the only consumer needing
+            # co-partitioning is the non-broadcast push join, whose
+            # state side adapts to whatever width this cache has.)
             s = (
                 self.edges.join(self.out_degrees, "src")
                 .select(
@@ -351,7 +367,6 @@ class LinkGraph:
                     "dst",
                     (self._edge_w(self.edges) / F.col("wout")).alias("inv_outdeg"),
                 )
-                .repartition(self.num_partitions, "src")
             )
             if self._persist:
                 s = s.persist(StorageLevel.MEMORY_AND_DISK)

@@ -606,6 +606,7 @@ class PPREngine:
         state_rows: int,
         base: int,
         durable: bool,
+        allow_dense: bool = True,
     ) -> tuple[DataFrame, int, dict[int, float]]:
         """Superstep loop over an already-checkpointed state leaf with its
         per-source L1 known (both come from one ``_ckpt_with_l1`` job).
@@ -618,7 +619,7 @@ class PPREngine:
         live = [s for s in self.sources if l1[s] > self.eps]
         steps = 0
         self._last_durable = 0
-        dense = self._use_dense()
+        dense = allow_dense and self._use_dense()
         pivoted = bool(dense and live)
         if pivoted:
             # pivot (source, vid) rows -> one (vid, res[], resv[]) row,
@@ -1005,7 +1006,22 @@ class PPREngine:
                 "source", F.col("reserve").alias("p"),
             )
         )
-        bdp = b_sel.unionByName(d_sel).unionByName(p_sel).limit(cap + 1).toPandas()
+        # round-6: the touched srcs' old out-edge rows ride the SAME
+        # tagged collect (kind 'e') instead of a second driver job — the
+        # global limit(cap+1) already gates total driver rows, subsuming
+        # the old separate degree-sum pre-check of the edge volume
+        e_sel = g.edges.join(F.broadcast(touched_b), "src", "left_semi").select(
+            F.lit("e").alias("kind"), F.lit(None).cast("string").alias("op"),
+            "src", F.col("dst").cast("bigint").alias("dst"),
+            *([F.col("w").cast("double").alias("w")] if wcols else []),
+            null_l.alias("outdeg"), null_d.alias("d_old"),
+            null_l.alias("source"), null_d.alias("p"),
+        )
+        bdp = (
+            b_sel.unionByName(d_sel).unionByName(p_sel).unionByName(e_sel)
+            .limit(cap + 1)
+            .toPandas()
+        )
         if len(bdp) > cap:
             return None, None
         pdfb = bdp[bdp["kind"] == "b"][["op", "src", "dst"] + wcols].reset_index(
@@ -1023,19 +1039,14 @@ class PPREngine:
                 ),
                 pd.DataFrame({"source": [], "src": [], "p": []}),
             )
-        n_edge_rows = int(d_pdf["outdeg"].sum()) if len(d_pdf) else 0
-        if n_edge_rows > cap:
-            return None, None
-        # job 2: the touched srcs' old out-edge rows (count pre-verified
-        # against the gate via the degree sums above)
-        tdf = self.spark.createDataFrame(
-            pd.DataFrame({"src": touched_ids}), schema="src bigint"
-        )
         ecols = ["src", "dst"] + wcols
+        # the union frame's dst column is float64 (other kinds carry
+        # nulls there) — restore exact integer dtypes before the rows are
+        # re-uploaded via createDataFrame(schema="... bigint")
         e_pdf = (
-            g.edges.join(F.broadcast(tdf), "src", "left_semi")
-            .select(*ecols)
-            .toPandas()
+            bdp[bdp["kind"] == "e"][ecols]
+            .astype({"src": "int64", "dst": "int64"})
+            .reset_index(drop=True)
         )
         return (
             PreparedBatch(
@@ -1303,6 +1314,9 @@ class PPREngine:
         else:
             dstate, l1, drows = self._ckpt_with_l1(d0, delta_rot)
         _lap("delta_ckpt")
+        # (the sparse row formulation was also measured for this re-push —
+        # 39.4 s vs 36.9 s on q_ppr_updates_df medians — the dense form
+        # wins even on the sparse delta, so allow_dense stays default)
         dstate, steps, l1 = self._df_push_loop(
             dstate, l1, delta_rot, state_rows=drows,
             base=self.metrics.supersteps, durable=False,
@@ -1321,15 +1335,23 @@ class PPREngine:
             )
             .filter(F.col("reserve") != 0.0)
         )
+        # ONE exchange for merge + layout: hash-partitioning on vid
+        # co-locates every (source, vid) group, so the aggregation after
+        # the explicit repartition inserts no second exchange and the
+        # result keeps the vid layout (guide §2.4). Width stays
+        # _state_parts (not floored at cores): the merged leaf is scanned
+        # 3+ times by the NEXT batch's probes, and those per-scan task
+        # counts are exactly what _state_parts bounds; the agg itself is
+        # ~0.2 s either way at bench scale.
         merged = (
             frozen.unionByName(dstate.select("source", "vid", "residual", "reserve"))
+            .repartition(self._state_parts(full_state_rows), "vid")
             .groupBy("source", "vid")
             .agg(
                 F.sum("residual").alias("residual"),
                 F.sum("reserve").alias("reserve"),
             )
             .filter((F.col("residual") != 0.0) | (F.col("reserve") != 0.0))
-            .repartition(self._state_parts(full_state_rows), "vid")
         )
         # fused final checkpoint: merged-state L1 (== the converged delta
         # residual) + row count in the same job

@@ -244,6 +244,12 @@ def run_superstep_loop(
     it = start_iter
     last_durable = start_iter
     steps_per_job = max(1, int(steps_per_job))
+    # NOTE (round-6): auto-composing when tol <= 0 (the PPR engine's
+    # eps=0 trick) was tried here and REVERTED — for the shrinking-state
+    # until-stable kernels (k-core peel, BFS shells) the overshoot
+    # rounds past the fixed point plus the per-sub-step lazy-checkpoint
+    # materialization cost MORE than the saved job barriers (q_kcore
+    # 9.5s -> 13.1s measured). Composition stays caller-controlled.
     from dynamicppr_spark.rddtrack import track_new_rdds, unpersist_rdd_ids
 
     sc = spark.sparkContext
