@@ -109,7 +109,9 @@ def _covered(spark, g):
         )
 
     def ppr_step():
-        # one representative multi-source push superstep (ppr.py)
+        # one representative multi-source push superstep — the DENSE
+        # (vid, res[S], resv[S]) form the engine uses for S > 1 df pushes
+        # since round 6 (ppr.py::_push_superstep_dense)
         from dynamicppr_spark.operators.ppr import PPREngine
 
         top = [
@@ -120,7 +122,10 @@ def _covered(spark, g):
         ]
         eng = PPREngine(g, top, eps=0.0, max_supersteps=15, mode="df")
         eng._prepare_push()
-        return eng._push_superstep(eng.state, eng.sources)
+        dense = eng._to_dense(eng.state)
+        return eng._push_superstep_dense(
+            dense, [True] * len(eng.sources), broadcast_frontier=True
+        )
 
     return {
         "q_pagerank": ("step", pagerank_step),
