@@ -110,6 +110,10 @@ def seed_distances(
         )
     state0 = state0.repartition(p, "vid")
 
+    # NOTE (round-6): state coalescing (the pagerank.py trick) measured
+    # slightly WORSE here (median 4.3 s vs 3.6 s) and was reverted —
+    # same reason as kcore.py.
+
     def step(state: DataFrame, _i: int) -> DataFrame:
         relaxed = (
             state.filter(F.col("delta") > 0)

@@ -78,6 +78,12 @@ def k_core(
         .repartition(p, "vid")
     )
 
+    # NOTE (round-6): coalescing each round's state output to a narrow
+    # width (the pagerank.py trick) was measured here and REVERTED —
+    # q_kcore 4.9 s -> 15.2 s (the peel's two per-round joins replan
+    # around the unknown-partitioned narrow leaf); the win is specific
+    # to PageRank's union-into-aggregate shape.
+
     def step(state: DataFrame, _i: int) -> DataFrame:
         doomed = state.filter(F.col("deg") < k).select("vid")
         dec = (

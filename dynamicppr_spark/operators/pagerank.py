@@ -160,6 +160,12 @@ def pagerank(
     # sub-step executes its stages at definition anyway, so the broadcast
     # no longer "serializes" anything that was parallel.
     broadcast_ranks = n * 16 <= (128 << 20)
+    # coalesce the V-sized state to a width derived from its ROW COUNT
+    # (PPR's _state_parts rule): the state leaf is scanned 2x per
+    # iteration (carrier + broadcast build) plus once to checkpoint, so
+    # shuffle.partitions-wide leaves cost 3 waves of mostly-empty tasks
+    # per iteration (same-process A/B: 5 iters 6.8 s -> 5.1 s at width 8)
+    state_width = max(8, min(graph.num_partitions, n // 100_000 + 1))
 
     def step(ranks: DataFrame, _i: int) -> DataFrame:
         # single-shuffle iteration: raw contributions and the carrier row
@@ -210,7 +216,7 @@ def pagerank(
                 "dang",
             )
         )
-        return new
+        return new.coalesce(state_width)
 
     observe = {
         "delta": F.max("delta"),
