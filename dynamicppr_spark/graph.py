@@ -610,19 +610,24 @@ class LinkGraph:
         ]
 
         def tag(df: DataFrame, kind: str, **cols) -> DataFrame:
+            # one selectExpr STRING call per frame: the Column-by-Column
+            # form cost ~30 py4j round-trips per tag() and ~0.4 s of pure
+            # driver time per batch across the ~12 tagged branches
+            # (ppr.py::_to_dense has the same rationale). ``cols`` values
+            # are source column NAMES (validated against the frame).
             types = {
                 "src": "bigint", "dst": "bigint", "w": "double",
                 "vid": "bigint", "outdeg": "bigint", "wout": "double",
                 "inv_outdeg": "double", "source": "bigint", "val": "double",
             }
-            sel = [F.lit(kind).alias("kind")]
+            sel = [f"'{kind}' as kind"]
             for c in TAG_COLS[1:]:
-                sel.append(
-                    cols[c].cast(types[c]).alias(c)
-                    if c in cols
-                    else F.lit(None).cast(types[c]).alias(c)
-                )
-            return df.select(*sel)
+                if c in cols:
+                    assert cols[c] in df.columns, (kind, cols[c])
+                    sel.append(f"cast(`{cols[c]}` as {types[c]}) as {c}")
+                else:
+                    sel.append(f"cast(null as {types[c]}) as {c}")
+            return df.selectExpr(*sel)
 
         # edge deltas: minus' = minus ∪ P ; plus' = (plus \ P) ∪ I
         new_minus = (
@@ -638,10 +643,10 @@ class LinkGraph:
         new_plus = ins if plus_kept is None else plus_kept.unionByName(ins)
 
         frames = [
-            tag(new_minus, "minus", src=F.col("src"), dst=F.col("dst")),
+            tag(new_minus, "minus", src="src", dst="dst"),
             tag(
-                new_plus, "plus", src=F.col("src"), dst=F.col("dst"),
-                **({"w": F.col("w")} if self.weighted else {}),
+                new_plus, "plus", src="src", dst="dst",
+                **({"w": "w"} if self.weighted else {}),
             ),
         ]
         if batch_rows is None:
@@ -653,7 +658,7 @@ class LinkGraph:
                         F.col("src").cast("bigint").alias("src"),
                         F.col("dst").cast("bigint").alias("dst"),
                     ),
-                    "braw", src=F.col("src"), dst=F.col("dst"),
+                    "braw", src="src", dst="dst",
                 )
             )
 
@@ -663,7 +668,7 @@ class LinkGraph:
         # (exceptAll would shuffle both sides)
         known = self._vertices.join(F.broadcast(endpoints), "vid", "left_semi")
         new_vids = endpoints.join(F.broadcast(known), "vid", "left_anti")
-        frames.append(tag(new_vids, "nv", vid=F.col("vid")))
+        frames.append(tag(new_vids, "nv", vid="vid"))
 
         if extra_frames is not None and self._deg is None and mini is None:
             _ = self.out_degrees  # ensure the degree base exists for ctx.deg
@@ -686,7 +691,7 @@ class LinkGraph:
                 if deg_dirty is not None
                 else touched
             )
-            frames.append(tag(new_dirty, "dirty", src=F.col("src")))
+            frames.append(tag(new_dirty, "dirty", src="src"))
             kept = (
                 deg_override.join(F.broadcast(touched), "src", "left_anti")
                 if deg_override is not None
@@ -698,7 +703,7 @@ class LinkGraph:
             frames.append(
                 tag(
                     new_override, "dego",
-                    src=F.col("src"), outdeg=F.col("outdeg"), wout=F.col("wout"),
+                    src="src", outdeg="outdeg", wout="wout",
                 )
             )
             if self._scat is not None:
@@ -727,8 +732,7 @@ class LinkGraph:
                 frames.append(
                     tag(
                         new_s_override, "scato",
-                        src=F.col("src"), dst=F.col("dst"),
-                        inv_outdeg=F.col("inv_outdeg"),
+                        src="src", dst="dst", inv_outdeg="inv_outdeg",
                     )
                 )
         # dangling evidence (only needed when the parent flag is False):
@@ -746,8 +750,8 @@ class LinkGraph:
                 "vid",
                 "left_anti",
             )
-            frames.append(tag(lost_all, "dang", src=F.col("src")))
-            frames.append(tag(new_dang, "dang", vid=F.col("vid")))
+            frames.append(tag(lost_all, "dang", src="src"))
+            frames.append(tag(new_dang, "dang", vid="vid"))
 
         extra_names: list[str] = []
         if extra_frames is not None:
@@ -785,7 +789,7 @@ class LinkGraph:
             for name, xdf in extra_frames(ctx).items():
                 extra_names.append(name)
                 frames.append(
-                    tag(xdf, "x_" + name, **{c: F.col(c) for c in xdf.columns})
+                    tag(xdf, "x_" + name, **{c: c for c in xdf.columns})
                 )
 
         tagged = frames[0]
@@ -798,8 +802,8 @@ class LinkGraph:
         tagged = tagged.repartition(4)
         # internal counts (+ caller metrics) are OBSERVED during the same
         # eager checkpoint job — no separate count job per batch
-        kcount = lambda k: F.sum(  # noqa: E731
-            F.when(F.col("kind") == k, 1).otherwise(0)
+        kcount = lambda k: F.expr(  # noqa: E731
+            f"sum(case when kind = '{k}' then 1 else 0 end)"
         )
         obs_exprs = {"__nv": kcount("nv"), "__dang": kcount("dang"),
                      "__braw": kcount("braw")}

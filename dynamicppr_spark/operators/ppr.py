@@ -313,53 +313,39 @@ class PPREngine:
         return 32 + 16 * len(self.sources)
 
     def _to_dense(self, state: DataFrame) -> DataFrame:
+        # Aggregates built from SQL strings, not Column-by-Column: with S
+        # sources the 2*S conditional sums cost ~400 py4j round-trips per
+        # call in Column form — measured 0.7 s of pure driver time per K2
+        # batch (same rationale as _push_superstep_dense's SQL strings).
         S = len(self.sources)
-        aggs = []
-        for i, s in enumerate(self.sources):
-            aggs.append(
-                F.sum(
-                    F.when(F.col("source") == s, F.col("residual")).otherwise(0.0)
-                ).alias(f"_r{i}")
-            )
-            aggs.append(
-                F.sum(
-                    F.when(F.col("source") == s, F.col("reserve")).otherwise(0.0)
-                ).alias(f"_v{i}")
-            )
-        return (
-            state.groupBy("vid")
-            .agg(*aggs)
-            .select(
-                "vid",
-                F.array(*[F.col(f"_r{i}") for i in range(S)]).alias("res"),
-                F.array(*[F.col(f"_v{i}") for i in range(S)]).alias("resv"),
-            )
+        aggs = [
+            F.expr(
+                f"sum(case when source = {s}L then {col} else 0.0D end)"
+            ).alias(f"_{p}{i}")
+            for i, s in enumerate(self.sources)
+            for p, col in (("r", "residual"), ("v", "reserve"))
+        ]
+        res_sql = "array(" + ",".join(f"_r{i}" for i in range(S)) + ") as res"
+        resv_sql = "array(" + ",".join(f"_v{i}" for i in range(S)) + ") as resv"
+        return state.groupBy("vid").agg(*aggs).selectExpr(
+            "vid", res_sql, resv_sql
         )
 
     def _from_dense(self, dstate: DataFrame) -> DataFrame:
+        # SQL-string form (see _to_dense): the S struct/explode Columns
+        # cost ~0.5 s of py4j driver time per call in Column form.
+        structs = ",".join(
+            f"struct(cast({s} as bigint) as source, res[{i}] as residual, "
+            f"resv[{i}] as reserve)"
+            for i, s in enumerate(self.sources)
+        )
         return (
-            dstate.select(
-                "vid",
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(s).cast("bigint").alias("source"),
-                                F.col("res")[i].alias("residual"),
-                                F.col("resv")[i].alias("reserve"),
-                            )
-                            for i, s in enumerate(self.sources)
-                        ]
-                    )
-                ).alias("x"),
+            dstate.selectExpr("vid", f"explode(array({structs})) as x")
+            .selectExpr(
+                "x.source as source", "vid",
+                "x.residual as residual", "x.reserve as reserve",
             )
-            .select(
-                F.col("x.source").alias("source"),
-                "vid",
-                F.col("x.residual").alias("residual"),
-                F.col("x.reserve").alias("reserve"),
-            )
-            .filter((F.col("residual") != 0.0) | (F.col("reserve") != 0.0))
+            .filter("residual != 0.0D or reserve != 0.0D")
         )
 
     def _push_superstep_dense(
@@ -503,15 +489,16 @@ class PPREngine:
         disabled (extra pushes only refine converged sources within eps).
         """
         if self._per_source_freeze:
+            # SQL strings (see _to_dense): S conditional sums in Column
+            # form are ~5 py4j round-trips each, built once per checkpoint
             return {
-                f"l1_{s}": F.sum(
-                    F.when(
-                        F.col("source") == s, F.abs(F.col("residual"))
-                    ).otherwise(0.0)
+                f"l1_{s}": F.expr(
+                    f"sum(case when source = {s}L then abs(residual) "
+                    "else 0.0D end)"
                 )
                 for s in self.sources
             }
-        return {"l1_all": F.sum(F.abs(F.col("residual")))}
+        return {"l1_all": F.expr("sum(abs(residual))")}
 
     def _check_dangling_possible(self, state: DataFrame) -> bool:
         """True unless no residual can ever land on an outdeg-0 vertex.
@@ -1061,19 +1048,26 @@ class PPREngine:
         """Aggregates over the tagged-union checkpoint job that read the
         initial delta state's per-source L1 and row count — replaces the
         separate delta-checkpoint job."""
-        is_d0 = F.col("kind") == "x_d0"
-        a = F.when(is_d0, F.abs(F.col("val"))).otherwise(0.0)
+        # SQL strings (see _to_dense) — these aggregates ride the tagged
+        # with_updates checkpoint job once per K2 batch
         if self._per_source_freeze:
             exprs = {
-                f"l1_{s}": F.sum(
-                    F.when(is_d0 & (F.col("source") == s), F.abs(F.col("val")))
-                    .otherwise(0.0)
+                f"l1_{s}": F.expr(
+                    f"sum(case when kind = 'x_d0' and source = {s}L "
+                    "then abs(val) else 0.0D end)"
                 )
                 for s in self.sources
             }
         else:
-            exprs = {"l1_all": F.sum(a)}
-        exprs["d0_rows"] = F.sum(F.when(is_d0, 1).otherwise(0))
+            exprs = {
+                "l1_all": F.expr(
+                    "sum(case when kind = 'x_d0' then abs(val) "
+                    "else 0.0D end)"
+                )
+            }
+        exprs["d0_rows"] = F.expr(
+            "sum(case when kind = 'x_d0' then 1 else 0 end)"
+        )
         return exprs
 
     def apply_updates(self, batch: DataFrame) -> PPRMetrics:
