@@ -80,7 +80,6 @@ class PreparedBatch:
     deg_old: "pd.DataFrame"
 
 
-@dataclass
 class UpdateContext:
     """Lazy per-batch frames handed to ``with_updates(extra_frames=...)``
     callbacks, all derived from the batch's single checkpointed O(E) scan:
@@ -91,16 +90,44 @@ class UpdateContext:
     the PPR engine feeds them straight into the bcsr path's vectorized
     ``build_adjustment`` instead of expressing the delta algebra as ~10
     Spark join branches (each branch reference scheduled its own task
-    wave; the stage storm was the round-3 profile's residual cost)."""
+    wave; the stage storm was the round-3 profile's residual cost).
 
-    touched: "DataFrame"
-    pairs: "DataFrame"
-    ins: "DataFrame"
-    old_e: "DataFrame"
-    new_e: "DataFrame"
-    deg: "DataFrame"
-    old_csr: object | None = None
-    new_csr: object | None = None
+    ``old_e``/``new_e``/``deg`` may be passed as zero-arg callables,
+    materialized on first attribute access: on the PreparedBatch fast
+    path the engine's adjustment reads only the mini CSRs, so the
+    largest per-batch local-frame uploads are skipped entirely."""
+
+    def __init__(
+        self, touched, pairs, ins, old_e, new_e, deg,
+        old_csr=None, new_csr=None,
+    ):
+        self.touched = touched
+        self.pairs = pairs
+        self.ins = ins
+        self._old_e = old_e
+        self._new_e = new_e
+        self._deg = deg
+        self.old_csr = old_csr
+        self.new_csr = new_csr
+
+    def _resolve(self, name: str) -> "DataFrame":
+        v = getattr(self, name)
+        if callable(v):
+            v = v()
+            setattr(self, name, v)
+        return v
+
+    @property
+    def old_e(self) -> "DataFrame":
+        return self._resolve("_old_e")
+
+    @property
+    def new_e(self) -> "DataFrame":
+        return self._resolve("_new_e")
+
+    @property
+    def deg(self) -> "DataFrame":
+        return self._resolve("_deg")
 
 
 def _build_csr_block(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -580,10 +607,12 @@ class LinkGraph:
             # frame, no E scan / checkpoint job here — and everything that
             # depends only on the touched srcs' edges is derived on the
             # driver via the tested bcsr numpy machinery (one local frame
-            # each instead of a fan of Spark join branches)
-            old_e = self._mk_local(prepared.old_e, eschema)
+            # each instead of a fan of Spark join branches). The frames
+            # enter ctx as THUNKS: the engine's fast-path adjustment reads
+            # only the mini CSRs, so the uploads usually never happen.
             mini = self._mini_update_csrs(prepared, prep)
-            new_e = self._mk_local(mini["new_e_pd"], eschema)
+            old_e = lambda: self._mk_local(prepared.old_e, eschema)  # noqa: E731
+            new_e = lambda: self._mk_local(mini["new_e_pd"], eschema)  # noqa: E731
         else:
             old_e = self.edges.join(F.broadcast(touched), "src", "left_semi")
             if self._persist:
@@ -629,12 +658,24 @@ class LinkGraph:
                     sel.append(f"cast(null as {types[c]}) as {c}")
             return df.selectExpr(*sel)
 
-        # edge deltas: minus' = minus ∪ P ; plus' = (plus \ P) ∪ I
-        new_minus = (
-            self._minus.unionByName(pairs).dropDuplicates(["src", "dst"])
-            if self._minus is not None
-            else pairs
-        )
+        # edge deltas: minus' = minus ∪ P ; plus' = (plus \ P) ∪ I.
+        # minus' as minus ∪ (P \ minus): set-equal to the dedup'd union
+        # (both sides are duplicate-free — minus inductively, P by prep)
+        # but the broadcast-anti probe inserts NO exchange, where the
+        # dropDuplicates form paid a full-width shuffle + AQE barrier
+        # inside every batch's tagged checkpoint job (guide §2.4). The
+        # broadcast side is the delta chain, bounded by the compaction
+        # row trigger; past a conservative gate the dedup form returns.
+        if self._minus is None:
+            new_minus = pairs
+        elif self._delta_rows <= 2_000_000:
+            new_minus = self._minus.unionByName(
+                pairs.join(F.broadcast(self._minus), ["src", "dst"], "left_anti")
+            )
+        else:
+            new_minus = self._minus.unionByName(pairs).dropDuplicates(
+                ["src", "dst"]
+            )
         plus_kept = (
             self._plus.join(F.broadcast(pairs), ["src", "dst"], "left_anti")
             if self._plus is not None
@@ -686,11 +727,19 @@ class LinkGraph:
             )
         if self._deg is not None:
             deg_base, deg_dirty, deg_override = self._deg
-            new_dirty = (
-                deg_dirty.unionByName(touched).dropDuplicates(["src"])
-                if deg_dirty is not None
-                else touched
-            )
+            # dirty' = dirty ∪ (touched \ dirty): same broadcast-anti
+            # rewrite as minus' above (both sides duplicate-free; no
+            # exchange inside the tagged job)
+            if deg_dirty is None:
+                new_dirty = touched
+            elif self._delta_rows <= 2_000_000:
+                new_dirty = deg_dirty.unionByName(
+                    touched.join(F.broadcast(deg_dirty), "src", "left_anti")
+                )
+            else:
+                new_dirty = deg_dirty.unionByName(touched).dropDuplicates(
+                    ["src"]
+                )
             frames.append(tag(new_dirty, "dirty", src="src"))
             kept = (
                 deg_override.join(F.broadcast(touched), "src", "left_anti")
@@ -756,7 +805,7 @@ class LinkGraph:
         extra_names: list[str] = []
         if extra_frames is not None:
             if mini is not None:
-                deg_ctx = self._mk_local(
+                deg_ctx = lambda: self._mk_local(  # noqa: E731
                     mini["deg_ctx_pd"],
                     "src bigint, d_old double, d_new double",
                 )
