@@ -135,6 +135,51 @@ def _canon_incremental(
     return c
 
 
+def _wedge_expand(delta: DataFrame, edges: DataFrame):
+    """(adjacency, persisted wedge) for ``_triangles_touching`` — split out
+    so ``triangle_delta`` can materialize the gained- and lost-side wedges
+    in ONE union count job instead of two driver-synchronized counts."""
+    adj = edges.select(F.col("a").alias("v"), F.col("b").alias("w")).unionByName(
+        edges.select(F.col("b").alias("v"), F.col("a").alias("w"))
+    )
+    d = delta.select(F.col("a").alias("da"), F.col("b").alias("db"))
+    wedge = (
+        adj.join(F.broadcast(d), F.col("v") == F.col("da"))
+        .filter(F.col("w") != F.col("db"))
+        # rename before re-joining adj: wedge derives from adj and a raw
+        # self-join on shared names is ambiguous
+        .select(
+            F.col("da").alias("wa"),
+            F.col("db").alias("wb"),
+            F.col("w").alias("wc"),
+        )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    return adj, wedge
+
+
+def _close_wedges(
+    adj: DataFrame,
+    wedge: DataFrame,
+    n_wedge: int,
+    wedge_broadcast_max_rows: int,
+) -> DataFrame:
+    """Closing-edge probe + canonical-triple distinct over a materialized
+    wedge table (second half of ``_triangles_touching``)."""
+    probe = (
+        F.broadcast(wedge) if n_wedge <= wedge_broadcast_max_rows else wedge
+    )
+    closed = adj.join(
+        probe,
+        (F.col("v") == F.col("wb")) & (F.col("w") == F.col("wc")),
+    ).select("wa", "wb", "wc")
+    tri = closed.select(
+        F.array_sort(F.array("wa", "wb", "wc")).alias("t")
+    ).select(
+        F.col("t")[0].alias("x"), F.col("t")[1].alias("y"), F.col("t")[2].alias("z")
+    )
+    return tri.distinct()
+
+
 def _triangles_touching(
     delta: DataFrame,
     edges: DataFrame,
@@ -161,37 +206,11 @@ def _triangles_touching(
     after materializing the result; with ``keep=None`` the result is
     eagerly checkpointed here and the wedge freed before returning, so
     every persisted wedge always has exactly one owner."""
-    adj = edges.select(F.col("a").alias("v"), F.col("b").alias("w")).unionByName(
-        edges.select(F.col("b").alias("v"), F.col("a").alias("w"))
-    )
-    d = delta.select(F.col("a").alias("da"), F.col("b").alias("db"))
-    wedge = (
-        adj.join(F.broadcast(d), F.col("v") == F.col("da"))
-        .filter(F.col("w") != F.col("db"))
-        # rename before re-joining adj: wedge derives from adj and a raw
-        # self-join on shared names is ambiguous
-        .select(
-            F.col("da").alias("wa"),
-            F.col("db").alias("wb"),
-            F.col("w").alias("wc"),
-        )
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    adj, wedge = _wedge_expand(delta, edges)
     if keep is not None:
         keep.append(wedge)
     n_wedge = wedge.count()
-    probe = (
-        F.broadcast(wedge) if n_wedge <= wedge_broadcast_max_rows else wedge
-    )
-    closed = adj.join(
-        probe,
-        (F.col("v") == F.col("wb")) & (F.col("w") == F.col("wc")),
-    ).select("wa", "wb", "wc")
-    tri = closed.select(
-        F.array_sort(F.array("wa", "wb", "wc")).alias("t")
-    ).select(
-        F.col("t")[0].alias("x"), F.col("t")[1].alias("y"), F.col("t")[2].alias("z")
-    )
-    out = tri.distinct()
+    out = _close_wedges(adj, wedge, n_wedge, wedge_broadcast_max_rows)
     if keep is None:
         # no owner volunteered for the wedge cache: materialize the
         # (batch-sized) result eagerly and free the wedge now, instead of
@@ -234,8 +253,37 @@ def triangle_delta(
     new_hit = e_new.join(F.broadcast(bp), ["a", "b"], "left_semi")
     added = new_hit.join(old_hit, ["a", "b"], "left_anti")
     removed = old_hit.join(new_hit, ["a", "b"], "left_anti")
-    gained = _triangles_touching(added, e_new, keep=keep)
-    lost = _triangles_touching(removed, e_old, keep=keep)
+    # both sides' wedges are persisted and materialized in ONE union
+    # count job (the per-side counts also drive the broadcast gate) —
+    # the sequential per-side counts were two driver barriers per batch
+    own = keep is None
+    if own:
+        keep = []
+    adj_new, wedge_g = _wedge_expand(added, e_new)
+    adj_old, wedge_l = _wedge_expand(removed, e_old)
+    keep.append(wedge_g)
+    keep.append(wedge_l)
+    counts = {
+        r["k"]: r["n"]
+        for r in wedge_g.select(F.lit("g").alias("k"))
+        .unionByName(wedge_l.select(F.lit("l").alias("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    cap = 5_000_000  # wedge_broadcast_max_rows (see _triangles_touching)
+    gained = _close_wedges(adj_new, wedge_g, counts.get("g", 0), cap)
+    lost = _close_wedges(adj_old, wedge_l, counts.get("l", 0), cap)
+    if own:
+        # no owner volunteered for the wedge caches (same discipline as
+        # _triangles_touching keep=None): materialize eagerly, free now
+        gained = gained.localCheckpoint(eager=True)
+        lost = lost.localCheckpoint(eager=True)
+        for df in keep:
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001
+                pass
     return gained, lost
 
 
@@ -258,8 +306,18 @@ def triangle_count_incremental(
     g2 = graph.with_updates(batch)
     keep: list = []
     gained, lost = triangle_delta(graph, g2, batch, keep=keep)
-    n_gain = gained.count()
-    n_lost = lost.count()
+    # one union job counts both sides (two sequential counts were two
+    # driver barriers per batch)
+    cnt = {
+        r["k"]: r["n"]
+        for r in gained.select(F.lit("g").alias("k"))
+        .unionByName(lost.select(F.lit("l").alias("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_gain = int(cnt.get("g", 0))
+    n_lost = int(cnt.get("l", 0))
     for df in keep:
         try:
             df.unpersist()
