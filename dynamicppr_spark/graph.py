@@ -130,6 +130,33 @@ class UpdateContext:
         return self._resolve("_deg")
 
 
+def make_local_frame(spark, pdf2: "pd.DataFrame", schema: str) -> DataFrame:
+    """Small pandas frame -> ONE-partition local DataFrame.
+
+    Two silent fallbacks are routed around here (round-6 event-log
+    profile of the K2 batch path):
+    - EMPTY pandas frames: ``createDataFrame`` falls back from Arrow to
+      the pickled LIST path — 32 Python-worker partitions costing ~0.4 s
+      per frame (3.5 s if coalesced to one task). An empty ``range(0)``
+      + null casts is a pure-JVM relation (measured 0.08 s).
+    - Fixed-width frames: without the coalesce, LocalTableScan
+      parallelizes to min(rows, defaultParallelism) partitions — the ~9
+      local frames per batch put ~300 mostly-empty scheduler-floor tasks
+      into the tagged checkpoint job. coalesce(1) over a parallelize is
+      narrow with NO preferred locations (the round-3 locality-wait
+      concern applied to coalesced BLOCK-backed rdds; re-measured on
+      4.1.2: equal or faster, including under a broadcast build).
+    Callers must keep pandas dtypes exactly matching ``schema`` (int64
+    for bigint) or the Arrow path falls back to pickled rows too."""
+    if len(pdf2) == 0:
+        exprs = []
+        for col in schema.split(","):
+            name, typ = col.strip().split(None, 1)
+            exprs.append(f"cast(null as {typ}) as {name}")
+        return spark.range(0, 0, 1, 1).selectExpr(*exprs)
+    return spark.createDataFrame(pdf2, schema=schema).coalesce(1)
+
+
 def _build_csr_block(pdf: pd.DataFrame) -> pd.DataFrame:
     """Grouped-map kernel: edge rows of one hash-partition -> one CSR row.
 
@@ -980,14 +1007,10 @@ class LinkGraph:
         return child
 
     def _mk_local(self, pdf2: "pd.DataFrame", schema: str) -> DataFrame:
-        """Small pandas frame -> few-partition local DataFrame.
-
-        NO ``coalesce(1)`` here: a coalesced parallelize inherits every
-        parent partition's preferred locations, and broadcasting it then
-        idles through spark.locality.wait escalation (~5s per broadcast —
-        measured round 3). Arrow createDataFrame already yields few
-        partitions for small frames."""
-        return self.spark.createDataFrame(pdf2, schema=schema)
+        """Small pandas frame -> one-partition local DataFrame (see
+        module-level ``make_local_frame`` for the empty-frame and
+        partition-width rationale)."""
+        return make_local_frame(self.spark, pdf2, schema)
 
     def _mini_update_csrs(self, prepared: "PreparedBatch", prep: dict) -> dict:
         """Driver-side derivation of everything that depends only on the
@@ -1107,8 +1130,7 @@ class LinkGraph:
         )
 
         def mk(p2, schema):
-            # no coalesce(1): see _mk_local (locality-wait stall)
-            return self.spark.createDataFrame(p2, schema=schema)
+            return make_local_frame(self.spark, p2, schema)
 
         return {
             "pairs": mk(pairs_pd, "src bigint, dst bigint"),

@@ -49,7 +49,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Observation, Window, functions as F
 
-from dynamicppr_spark.graph import LinkGraph
+from dynamicppr_spark.graph import LinkGraph, make_local_frame
 from dynamicppr_spark.rddtrack import track_new_rdds, unpersist_rdd_ids
 
 STATE_SCHEMA = "source bigint, vid bigint, residual double, reserve double"
@@ -1015,7 +1015,16 @@ class PPREngine:
             drop=True
         )
         d_pdf = bdp[bdp["kind"] == "d"][["src", "outdeg", "d_old"]]
-        p_pdf = bdp[bdp["kind"] == "p"][["source", "src", "p"]].reset_index(drop=True)
+        # the union frame's source column is float64 (other kinds carry
+        # nulls there): restore int64 NOW — a float64 column under a
+        # bigint schema makes the later deltas createDataFrame fall back
+        # from Arrow to the 32-partition pickled-row path (one Python
+        # worker round-trip per partition, silently per batch)
+        p_pdf = (
+            bdp[bdp["kind"] == "p"][["source", "src", "p"]]
+            .astype({"source": "int64", "src": "int64"})
+            .reset_index(drop=True)
+        )
         touched_ids = sorted(set(pdfb["src"].astype("int64").tolist()))
         if not touched_ids:
             return (
@@ -1154,6 +1163,11 @@ class PPREngine:
                     .sum()
                 )
                 deltas_pd = deltas_pd[deltas_pd["val"] != 0.0]
+                # exact integer dtypes => Arrow-path createDataFrame
+                # (see _collect_batch_context's p_pdf note)
+                deltas_pd = deltas_pd.astype(
+                    {"source": "int64", "vid": "int64"}
+                )
                 scale_pd = pd.DataFrame(
                     {"vid": vids[plan.ru_pos], "val": plan.factor}
                 )
@@ -1164,14 +1178,15 @@ class PPREngine:
                         "source", "vid", F.col("residual").alias("val")
                     )
                     .unionByName(
-                        self.spark.createDataFrame(
+                        make_local_frame(
+                            self.spark,
                             deltas_pd[["source", "vid", "val"]],
-                            schema=dschema,
+                            dschema,
                         )
                     )
                 )
-                scale = self.spark.createDataFrame(
-                    scale_pd, schema="vid bigint, val double"
+                scale = make_local_frame(
+                    self.spark, scale_pd, "vid bigint, val double"
                 )
                 return {"d0": d0, "scale": scale}
             p_u = (

@@ -181,3 +181,29 @@ def test_linkgraph_base_partitioned_on_src_after_fold(spark):
     plan = explain_str(g._base_edges)
     assert "hashpartitioning(src" in plan, plan
     g.release()
+
+
+def test_make_local_frame_one_partition_and_empty_jvm_path(spark):
+    """Driver-local frames must stay one-partition (the per-batch tagged
+    job otherwise schedules min(rows, defaultParallelism) tasks per
+    frame), and EMPTY frames must avoid the empty-pandas createDataFrame
+    fallback (a 32-partition pickled-row path costing ~0.4 s per frame
+    per batch)."""
+    import pandas as pd
+
+    from dynamicppr_spark.graph import make_local_frame
+
+    pdf = pd.DataFrame({"src": [3, 1, 2], "dst": [4, 5, 6]})
+    df = make_local_frame(spark, pdf, "src bigint, dst bigint")
+    assert df.rdd.getNumPartitions() == 1
+    assert sorted((r["src"], r["dst"]) for r in df.collect()) == [
+        (1, 5), (2, 6), (3, 4)
+    ]
+
+    empty = pd.DataFrame({"src": pd.Series([], dtype="int64")})
+    edf = make_local_frame(spark, empty, "src bigint")
+    assert edf.schema.simpleString() == "struct<src:bigint>"
+    assert edf.count() == 0
+    assert edf.rdd.getNumPartitions() <= 1  # range(0) plans 0 partitions
+    # the JVM range-based empty relation has no Python evaluation chain
+    assert "PythonRDD" not in edf.rdd.toDebugString().decode()
