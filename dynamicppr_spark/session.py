@@ -29,6 +29,15 @@ ENGINE_CONFS: dict[str, str] = {
     # re-sort of the persisted scatter table)
     "spark.sql.join.preferSortMergeJoin": "false",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Always use the sort-based (Unsafe) shuffle writer: the bypass-merge
+    # writer engages whenever R <= 200 reduce partitions and opens R file
+    # streams PER MAP TASK — the engine's V-sized reductions at M=64/R=64
+    # paid ~4096 stream opens+merges per superstep (measured: the
+    # PageRank iteration's union-reduce drops 1.56 s -> 0.42 s with the
+    # sort writer, same plan). On a real cluster R > 200 so bypass never
+    # applies — this makes local execution match cluster behavior rather
+    # than tuning for local[32].
+    "spark.shuffle.sort.bypassMergeThreshold": "1",
     "spark.sql.session.timeZone": "UTC",
     # iterative kernels checkpoint to truncate lineage; keep plans small
     "spark.sql.execution.arrow.maxRecordsPerBatch": "100000",
